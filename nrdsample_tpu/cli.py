@@ -1,0 +1,146 @@
+"""CLI harness — the headless frame driver replacing the reference's
+window/ImGui app shell (SURVEY.md §2.3 "NRIFramework"/"ImGui"/"cmdline" rows).
+
+Usage:
+  python -m nrdsample_tpu.cli render --scene cornellbox --size 256 --frames 16 \
+      --bounces 3 --denoiser reference --out /tmp/out.png
+  python -m nrdsample_tpu.cli scenes
+  python -m nrdsample_tpu.cli bench
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+
+SCENES = {}
+
+
+def _register_scenes():
+    from nrdsample_tpu.scene import procedural
+
+    SCENES.update(
+        {
+            "cornellbox": lambda: procedural.cornell_box(),
+            "cornellbox-furnace": lambda: procedural.cornell_box(furnace=True),
+            "shaderballs": lambda: procedural.shader_balls(),
+            "kitchen": lambda: procedural.kitchen(),
+            "soup": lambda: procedural.random_soup(100_000),
+        }
+    )
+
+
+DEFAULT_CAMERAS = {
+    "cornellbox": ([0.0, -3.2, 1.0], [0.0, 0.0, 1.0], 39.0),
+    "cornellbox-furnace": ([0.0, -3.2, 1.0], [0.0, 0.0, 1.0], 39.0),
+    "shaderballs": ([0.0, -9.0, 4.5], [0.0, 0.0, 0.8], 50.0),
+    "kitchen": ([0.0, -1.6, 1.6], [0.0, 1.5, 1.2], 65.0),
+    "soup": ([0.0, -60.0, 25.0], [0.0, 0.0, 5.0], 55.0),
+}
+
+
+def cmd_render(args) -> int:
+    import jax
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+    import jax.numpy as jnp
+    import numpy as np
+
+    from nrdsample_tpu.config import Denoiser, RenderConfig, Settings, TracingMode
+    from nrdsample_tpu.ops import traversal
+    from nrdsample_tpu.pipeline import frame as frame_mod
+    from nrdsample_tpu.scene.types import look_at
+    from nrdsample_tpu.utils import image as image_mod
+
+    _register_scenes()
+    scene = SCENES[args.scene]()
+    eye, target, fov = DEFAULT_CAMERAS[args.scene]
+    ctx = traversal.build_context(scene.tris)
+    cam = look_at(eye=eye, target=target, fov_y_deg=fov, aspect=args.size / args.size)
+    cfg = RenderConfig(
+        width=args.size, height=args.size, rpp=args.rpp, bounce_num=args.bounces,
+        tracing_mode=TracingMode.FULL_PROBABILISTIC,
+        denoiser=Denoiser[args.denoiser.upper()],
+        use_taa=args.taa,
+    )
+    settings = Settings(
+        sun_azimuth=jnp.float32(args.sun_azimuth),
+        sun_elevation=jnp.float32(args.sun_elevation),
+        disable_shadows=jnp.int32(1 if args.no_shadows else 0),
+    )
+    print(
+        f"scene={args.scene} tris={scene.num_tris} dense={ctx.use_dense} "
+        f"size={args.size} denoiser={args.denoiser}",
+        file=sys.stderr,
+    )
+
+    frame_fn = frame_mod.make_jitted_frame(ctx, cfg)
+    history = frame_mod.History.create(cfg)
+    t0 = time.perf_counter()
+    out = None
+    for f in range(args.frames):
+        out, history = frame_fn(scene, cam, settings, history)
+    jax.block_until_ready(out["final"])
+    dt = time.perf_counter() - t0
+    print(
+        f"{args.frames} frames in {dt:.2f}s ({dt/args.frames*1e3:.1f} ms/frame incl. compile)",
+        file=sys.stderr,
+    )
+
+    img = np.asarray(out["final"]).reshape(args.size, args.size, 3)
+    image_mod.write_png(args.out, image_mod.tonemap_for_display(img, args.exposure))
+    print(f"wrote {args.out}")
+    return 0
+
+
+def cmd_scenes(_args) -> int:
+    _register_scenes()
+    for name in SCENES:
+        print(name)
+    return 0
+
+
+def cmd_bench(_args) -> int:
+    import runpy
+
+    runpy.run_path("bench.py", run_name="__main__")
+    return 0
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(prog="nrdsample_tpu")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    r = sub.add_parser("render", help="render a scene to PNG")
+    r.add_argument("--scene", default="cornellbox", choices=list(DEFAULT_CAMERAS))
+    r.add_argument("--size", type=int, default=256)
+    r.add_argument("--frames", type=int, default=16)
+    r.add_argument("--rpp", type=int, default=1)
+    r.add_argument("--bounces", type=int, default=2)
+    r.add_argument("--denoiser", default="reference",
+                   choices=["reblur", "relax", "reference"])
+    r.add_argument("--taa", action="store_true")
+    r.add_argument("--out", default="/tmp/render.png")
+    r.add_argument("--exposure", type=float, default=0.35)
+    r.add_argument("--sun-azimuth", type=float, default=-147.0)
+    r.add_argument("--sun-elevation", type=float, default=45.0)
+    r.add_argument("--no-shadows", action="store_true")
+    r.add_argument("--cpu", action="store_true", help="force CPU backend")
+    r.set_defaults(fn=cmd_render)
+
+    s = sub.add_parser("scenes", help="list scenes")
+    s.set_defaults(fn=cmd_scenes)
+
+    b = sub.add_parser("bench", help="run the benchmark")
+    b.set_defaults(fn=cmd_bench)
+
+    args = p.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

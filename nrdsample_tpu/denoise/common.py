@@ -1,0 +1,108 @@
+"""Shared denoiser infrastructure: reprojection, disocclusion tests, stencil
+taps. Equivalent of NRD's internal common passes (temporal reprojection with
+plane-distance-based disocclusion is the core of REBLUR/RELAX temporal
+accumulation; SURVEY.md §7.3.3).
+
+Images are [H, W, C] (or [H, W]); motion is the reference's 2.5D motion
+(GetMotion, Shared.hlsli:318-335): mv.xy in pixels such that
+prev_pos = cur_pos + mv.xy, mv.z = viewZprev - viewZ.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from nrdsample_tpu.mathlib import filtering
+
+
+def shifted(img: jnp.ndarray, dy: int, dx: int) -> jnp.ndarray:
+    """Clamped-edge shifted view of [H, W, ...]: out[y, x] = img[y+dy, x+dx]."""
+    h, w = img.shape[0], img.shape[1]
+    ys = jnp.clip(jnp.arange(h) + dy, 0, h - 1)
+    xs = jnp.clip(jnp.arange(w) + dx, 0, w - 1)
+    return img[ys][:, xs]
+
+
+def stencil_taps(radius: int):
+    """(dy, dx) offsets of a (2r+1)² stencil."""
+    return [
+        (dy, dx)
+        for dy in range(-radius, radius + 1)
+        for dx in range(-radius, radius + 1)
+    ]
+
+
+def pixel_positions(h: int, w: int) -> jnp.ndarray:
+    """Continuous pixel centers [H, W, 2] = (x, y)."""
+    x = jnp.arange(w, dtype=jnp.float32) + 0.5
+    y = jnp.arange(h, dtype=jnp.float32) + 0.5
+    gx, gy = jnp.meshgrid(x, y)
+    return jnp.stack([gx, gy], axis=-1)
+
+
+def reproject(prev: jnp.ndarray, mv_xy: jnp.ndarray, bicubic: bool = False) -> jnp.ndarray:
+    """Sample the previous-frame image at cur + mv (bilinear or 5-tap bicubic).
+
+    prev: [H, W, C]; mv_xy: [H, W, 2] in pixels.
+    """
+    pos = pixel_positions(prev.shape[0], prev.shape[1]) + mv_xy
+    if bicubic:
+        return filtering.sample_bicubic_no_corners(prev, pos)
+    return filtering.sample_bilinear(prev, pos)
+
+
+def in_screen(mv_xy: jnp.ndarray, h: int, w: int) -> jnp.ndarray:
+    """[H, W] bool: does the reprojected position land on screen?"""
+    pos = pixel_positions(h, w) + mv_xy
+    return (
+        (pos[..., 0] >= 0.0)
+        & (pos[..., 0] <= w)
+        & (pos[..., 1] >= 0.0)
+        & (pos[..., 1] <= h)
+    )
+
+
+def disocclusion_weight(view_z: jnp.ndarray, mv_z: jnp.ndarray,
+                        prev_view_z_reproj: jnp.ndarray,
+                        normal: jnp.ndarray | None = None,
+                        prev_normal_reproj: jnp.ndarray | None = None,
+                        threshold: float = 0.02) -> jnp.ndarray:
+    """[H, W] in [0,1]: 1 = history valid. Plane-distance style test: expected
+    prev viewZ = viewZ + mv.z, compared against the reprojected history viewZ
+    relative to the absolute depth (NRD's disocclusionThreshold ~ 1-2%)."""
+    expected = view_z + mv_z
+    rel = jnp.abs(prev_view_z_reproj - expected) / jnp.maximum(
+        jnp.abs(view_z), 1e-3
+    )
+    ok = (rel < threshold).astype(view_z.dtype)
+    if normal is not None and prev_normal_reproj is not None:
+        ndot = jnp.sum(normal * prev_normal_reproj, axis=-1)
+        ok = ok * (ndot > 0.5).astype(view_z.dtype)
+    return ok
+
+
+def edge_stopping_weights(view_z, normal, radius: int, phi_z: float = 1.0,
+                          phi_n: float = 128.0, mv_xy=None):
+    """Per-tap geometric edge-stopping weights for an à-trous/stencil pass.
+
+    Returns list of ([H,W] weight, (dy,dx)) for all taps at the given radius
+    (step 1). Depth weight uses relative depth difference; normal weight is the
+    SVGF pow(max(dot,0), phi_n).
+    """
+    taps = stencil_taps(radius)
+    out = []
+    for dy, dx in taps:
+        zn = shifted(view_z, dy, dx)
+        nn = shifted(normal, dy, dx)
+        wz = jnp.exp(-jnp.abs(zn - view_z) / (phi_z * jnp.maximum(jnp.abs(view_z), 1e-3)
+                                              * (abs(dy) + abs(dx) + 1e-3)))
+        wn = jnp.power(jnp.clip(jnp.sum(nn * normal, axis=-1), 0.0, 1.0), phi_n)
+        out.append((wz * wn, (dy, dx)))
+    return out
+
+
+def luminance(img: jnp.ndarray) -> jnp.ndarray:
+    from nrdsample_tpu.mathlib import color
+
+    return color.luminance(img)

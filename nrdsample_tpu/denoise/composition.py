@@ -1,0 +1,52 @@
+"""Composition — denoiser back-end unpack + re-modulation + debug views.
+
+Reference: Shaders/Composition.cs.hlsl (243 LoC): unpack SIGMA shadow, direct =
+Ldirect*shadow + emission, unpack diffuse/specular denoised irradiance,
+re-modulate with material factors, fold direct in, debug view switch.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from nrdsample_tpu import config as cfgmod
+from nrdsample_tpu.config import OnScreen
+
+
+def compose(gb: dict, diff_radiance: jnp.ndarray, spec_radiance: jnp.ndarray,
+            shadow: jnp.ndarray) -> jnp.ndarray:
+    """Combine denoised signals into the final HDR radiance [N, 3].
+
+    Composition.cs.hlsl:58-197: direct = Ldirect*shadow + Lemi; indirect diffuse/
+    specular are re-modulated by the same factors used for de-modulation in
+    TraceOpaque (:177-188), then summed.
+    """
+    direct = gb["direct_lighting"] * shadow[..., None] + gb["emission"]
+    diff = diff_radiance * gb["diff_factor"]
+    spec = spec_radiance * gb["spec_factor"]
+    return direct + diff + spec
+
+
+def debug_view(on_screen: int, gb: dict, composed: jnp.ndarray) -> jnp.ndarray:
+    """The ~18 G-buffer visualizations (Composition.cs.hlsl:200-238)."""
+    if on_screen == OnScreen.FINAL:
+        return composed
+    if on_screen == OnScreen.BASE_COLOR:
+        return gb["base_color"]
+    if on_screen == OnScreen.NORMAL:
+        return gb["normal"] * 0.5 + 0.5
+    if on_screen == OnScreen.ROUGHNESS:
+        return jnp.repeat(gb["roughness"][..., None], 3, axis=-1)
+    if on_screen == OnScreen.METALNESS:
+        return jnp.repeat(gb["metalness"][..., None], 3, axis=-1)
+    if on_screen == OnScreen.SHADOW:
+        return jnp.repeat(gb["shadow"][..., None], 3, axis=-1)
+    if on_screen == OnScreen.MATERIAL_ID:
+        return jnp.repeat(gb["material_id"][..., None] / 3.0, 3, axis=-1)
+    if on_screen == OnScreen.WORLD_UNITS:
+        return jnp.mod(gb["primary_x"], 1.0)
+    if on_screen == OnScreen.DENOISED_DIFFUSE:
+        return gb["diff_radiance"] * gb["diff_factor"]
+    if on_screen == OnScreen.DENOISED_SPECULAR:
+        return gb["spec_radiance"] * gb["spec_factor"]
+    return composed

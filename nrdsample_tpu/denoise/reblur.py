@@ -1,0 +1,184 @@
+"""REBLUR — recurrent-blur diffuse/specular denoiser.
+
+Reference: NRD's REBLUR (external submodule; defaults exercised at
+NRDSample.cpp:563-585, front-end packing TraceOpaque.cs.hlsl:730-759, hit-dist
+normalization via gHitDistSettings). Reimplemented from the published
+"ReBLUR: A Hierarchical Recurrent Denoiser" algorithm outline (Ray Tracing
+Gems II ch. 49) — behaviorally validated (SURVEY.md §7.3.3):
+
+  1. temporal accumulation with disocclusion-aware accumulation speed,
+  2. hit-distance-driven adaptive-radius poisson-disk blur (radius shrinks with
+     accumulated frames and with normalized hit distance; specular radius also
+     shrinks with roughness via the "spec magic curve"),
+  3. temporal stabilization: history clamped to the spatial neighborhood
+     mean ± sigma (anti-lag).
+
+Data-dependent tap positions use bilinear gathers — still dense VPU work.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+
+import jax
+import jax.numpy as jnp
+
+from nrdsample_tpu.denoise import common
+from nrdsample_tpu.mathlib import filtering
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class ReblurHistory:
+    illum: jnp.ndarray        # (H, W, 3)
+    fast_illum: jnp.ndarray   # (H, W, 3) short-history (fast) channel
+    hitdist: jnp.ndarray      # (H, W)
+    view_z: jnp.ndarray       # (H, W)
+    normal: jnp.ndarray       # (H, W, 3)
+    frames: jnp.ndarray       # (H, W)
+
+    @staticmethod
+    def create(h: int, w: int, dtype=jnp.float32) -> "ReblurHistory":
+        z = jnp.zeros((h, w, 3), dtype)
+        return ReblurHistory(
+            illum=z, fast_illum=z, hitdist=jnp.zeros((h, w), dtype),
+            view_z=jnp.full((h, w), 1e5, dtype),
+            normal=jnp.zeros((h, w, 3), dtype),
+            frames=jnp.zeros((h, w), dtype),
+        )
+
+
+@dataclasses.dataclass(frozen=True)
+class ReblurSettings:
+    """Mirrors the exercised subset of nrd::ReblurSettings
+    (GetDefaultReblurSettings, NRDSample.cpp:563-585)."""
+
+    max_accumulated_frames: int = 30
+    max_fast_accumulated_frames: int = 6
+    blur_radius_px: float = 15.0
+    min_blur_radius_px: float = 1.0
+    disocclusion_threshold: float = 0.02
+    anti_lag_sigma: float = 2.0
+    phi_normal: float = 64.0
+    phi_depth: float = 1.0
+
+
+_POISSON_8 = [  # unit-disk poisson taps (8), classic REBLUR-style set
+    (-0.843, 0.155), (0.333, -0.855), (0.871, 0.440), (-0.298, 0.900),
+    (-0.315, -0.450), (0.519, 0.037), (-0.799, -0.534), (0.061, 0.455),
+]
+
+
+def spec_magic_curve(roughness):
+    """GetSpecMagicCurve (Shared.hlsli:305-311)."""
+    f = 1.0 - jnp.exp2(-200.0 * roughness * roughness)
+    return f * jnp.power(jnp.clip(roughness, 0.0, 1.0), 0.5)
+
+
+def _rot2(frame):
+    a = jnp.asarray(frame, jnp.float32) * 2.39996  # golden-angle per frame
+    return jnp.cos(a), jnp.sin(a)
+
+
+def adaptive_blur(illum, hitdist, view_z, normal, roughness, frames, frame_idx,
+                  s: ReblurSettings, is_spec: bool, unproject: float):
+    """Poisson-disk blur with per-pixel world-space-informed radius."""
+    h, w = view_z.shape
+    # normalized convergence in [0,1]
+    conv = frames / s.max_accumulated_frames
+    radius = s.blur_radius_px * (1.0 - 0.9 * conv)
+    # scale by hit distance (short hitT -> contact -> small radius); normalize
+    # by pixel size at this depth
+    pixel_size = jnp.maximum(jnp.abs(view_z) * unproject, 1e-6)
+    hit_factor = jnp.clip(hitdist / (pixel_size * 30.0), 0.05, 1.0)
+    radius = radius * hit_factor
+    if is_spec:
+        radius = radius * jnp.clip(spec_magic_curve(roughness), 0.05, 1.0)
+    radius = jnp.maximum(radius, s.min_blur_radius_px)
+
+    pos0 = common.pixel_positions(h, w)
+    ca, sa = _rot2(frame_idx)
+    lum_c = common.luminance(illum)
+
+    acc = illum
+    acc_hd = hitdist
+    acc_w = jnp.ones_like(lum_c)
+    for tx, ty in _POISSON_8:
+        ox = (tx * ca - ty * sa) * radius
+        oy = (tx * sa + ty * ca) * radius
+        pos = pos0 + jnp.stack([ox, oy], axis=-1)
+        illum_n = filtering.sample_bilinear(illum, pos)
+        z_n = filtering.sample_bilinear(view_z[..., None], pos)[..., 0]
+        n_n = filtering.sample_bilinear(normal, pos)
+        hd_n = filtering.sample_bilinear(hitdist[..., None], pos)[..., 0]
+        wz = jnp.exp(
+            -jnp.abs(z_n - view_z) / (s.phi_depth * jnp.maximum(jnp.abs(view_z), 1e-3))
+        )
+        wn = jnp.power(jnp.clip(jnp.sum(n_n * normal, axis=-1), 0.0, 1.0), s.phi_normal)
+        wgt = wz * wn
+        acc = acc + illum_n * wgt[..., None]
+        acc_hd = acc_hd + hd_n * wgt
+        acc_w = acc_w + wgt
+    inv = 1.0 / acc_w
+    return acc * inv[..., None], acc_hd * inv
+
+
+def denoise(hist: ReblurHistory, illum, hitdist, view_z, normal, roughness, mv,
+            frame_idx, unproject: float, s: ReblurSettings = ReblurSettings(),
+            is_spec: bool = False, reset=False):
+    """Full REBLUR pipeline for one signal. Returns (denoised, new_history)."""
+    h, w = view_z.shape
+    mv_xy = mv[..., :2]
+
+    # ---- temporal accumulation ----
+    prev_illum = common.reproject(hist.illum, mv_xy, bicubic=True)
+    prev_fast = common.reproject(hist.fast_illum, mv_xy)
+    prev_hd = common.reproject(hist.hitdist[..., None], mv_xy)[..., 0]
+    prev_z = common.reproject(hist.view_z[..., None], mv_xy)[..., 0]
+    prev_n = common.reproject(hist.normal, mv_xy)
+    prev_frames = common.reproject(hist.frames[..., None], mv_xy)[..., 0]
+
+    valid = common.disocclusion_weight(
+        view_z, mv[..., 2], prev_z, normal, prev_n, s.disocclusion_threshold
+    )
+    valid = valid * common.in_screen(mv_xy, h, w).astype(view_z.dtype)
+    valid = jnp.where(reset, 0.0, valid)
+
+    frames = jnp.minimum(prev_frames * valid + 1.0, s.max_accumulated_frames)
+    fast_frames = jnp.minimum(prev_frames * valid + 1.0, s.max_fast_accumulated_frames)
+    alpha = 1.0 / frames
+    alpha_f = 1.0 / fast_frames
+
+    acc = prev_illum * (1 - alpha[..., None]) + illum * alpha[..., None]
+    acc = jnp.where(valid[..., None] > 0, acc, illum)
+    fast = prev_fast * (1 - alpha_f[..., None]) + illum * alpha_f[..., None]
+    fast = jnp.where(valid[..., None] > 0, fast, illum)
+    hd = prev_hd * (1 - alpha) + hitdist * alpha
+    hd = jnp.where(valid > 0, hd, hitdist)
+
+    # ---- adaptive spatial blur ----
+    blurred, hd_blur = adaptive_blur(
+        acc, hd, view_z, normal, roughness, frames, frame_idx, s, is_spec, unproject
+    )
+
+    # ---- temporal stabilization: clamp slow history to fast neighborhood ----
+    mu = jnp.zeros_like(blurred)
+    mu2 = jnp.zeros_like(blurred)
+    for dy, dx in common.stencil_taps(1):
+        f_n = common.shifted(fast, dy, dx)
+        mu = mu + f_n
+        mu2 = mu2 + f_n * f_n
+    mu /= 9.0
+    sigma = jnp.sqrt(jnp.maximum(mu2 / 9.0 - mu * mu, 0.0))
+    clamped = jnp.clip(
+        blurred, mu - sigma * s.anti_lag_sigma, mu + sigma * s.anti_lag_sigma
+    )
+    # blend back toward unclamped as history converges
+    out = clamped + (blurred - clamped) * jnp.clip(frames / 8.0, 0.0, 1.0)[..., None]
+
+    new_hist = ReblurHistory(
+        illum=out, fast_illum=fast, hitdist=hd_blur, view_z=view_z, normal=normal,
+        frames=frames,
+    )
+    return out, new_hist

@@ -1,0 +1,192 @@
+"""The frame function — RenderFrame (NRDSample.cpp:3814-4513) as one pure jitted
+function: trace -> denoise (SIGMA + REBLUR/RELAX/REFERENCE) -> compose -> TAA,
+threading an explicit history pytree (temporal state, SURVEY.md §5.4) instead of
+persistent GPU textures.
+
+XLA replaces the reference's command buffers, barriers and descriptor machinery
+wholesale (SURVEY.md §2.3 "NRI" row): the pass graph is just function
+composition, fused and scheduled by the compiler.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+
+from nrdsample_tpu.config import Denoiser, RenderConfig, Settings
+from nrdsample_tpu.denoise import composition, reblur, reference, relax, sigma, taa
+from nrdsample_tpu.ops import traversal
+from nrdsample_tpu.render import trace_opaque
+from nrdsample_tpu.scene import camera as cam_mod
+from nrdsample_tpu.scene.types import Camera, Scene
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class History:
+    """All cross-frame state (the reference's persistent textures + SHARC
+    buffers + NRD-internal history, SURVEY.md §5.4). Unused denoiser slots are
+    None (static pytree structure per RenderConfig)."""
+
+    frame_index: jnp.ndarray          # () int32
+    reference: Any = None             # reference.ReferenceHistory
+    relax_diff: Any = None            # relax.RelaxHistory
+    relax_spec: Any = None
+    reblur_diff: Any = None           # reblur.ReblurHistory
+    reblur_spec: Any = None
+    sigma: Any = None                 # sigma.SigmaHistory
+    taa: Any = None                   # taa.TaaHistory
+
+    @staticmethod
+    def create(cfg: RenderConfig) -> "History":
+        h, w, dt = cfg.height, cfg.width, cfg.dtype
+        kw: dict[str, Any] = {"frame_index": jnp.int32(0)}
+        if cfg.denoiser == Denoiser.REFERENCE:
+            kw["reference"] = reference.ReferenceHistory.create(cfg.n_pixels, dt)
+        elif cfg.denoiser == Denoiser.RELAX:
+            kw["relax_diff"] = relax.RelaxHistory.create(h, w, dt)
+            kw["relax_spec"] = relax.RelaxHistory.create(h, w, dt)
+            kw["sigma"] = sigma.SigmaHistory.create(h, w, dt)
+        elif cfg.denoiser == Denoiser.REBLUR:
+            kw["reblur_diff"] = reblur.ReblurHistory.create(h, w, dt)
+            kw["reblur_spec"] = reblur.ReblurHistory.create(h, w, dt)
+            kw["sigma"] = sigma.SigmaHistory.create(h, w, dt)
+        if cfg.use_taa:
+            kw["taa"] = taa.TaaHistory.create(h, w, dt)
+        return History(**kw)
+
+
+def render_frame(ctx: traversal.TraceContext, scene: Scene, cam: Camera,
+                 cfg: RenderConfig, settings: Settings, history: History,
+                 reset_history=False, pixel_idx=None):
+    """One frame: returns (outputs dict, new history).
+
+    outputs["color"] is the composed HDR radiance (N, 3); outputs["final"] is
+    post-TAA when enabled. `pixel_idx` shards the pixel dimension by rows
+    (history must then be row-sharded identically; denoiser stencils then see
+    clamped shard edges until halo exchange lands — parallel/halo.py).
+    """
+    frame = history.frame_index
+    gb = trace_opaque.trace_opaque(ctx, scene, cam, cfg, settings, frame, pixel_idx)
+
+    n_local = gb["view_z"].shape[0]
+    w = cfg.width
+    h_local = n_local // w
+
+    def img(a):
+        return a.reshape((h_local, w) + a.shape[1:])
+
+    def flat(a):
+        return a.reshape((n_local,) + a.shape[2:])
+
+    diff = gb["diff_radiance"]
+    spec = gb["spec_radiance"]
+    shadow = gb["shadow"]
+
+    new_h = {"frame_index": frame + 1}
+    tan_sun = jnp.tan(jnp.deg2rad(settings.sun_angular_diameter * 0.5))
+
+    # ---- SIGMA shadow denoising (NRDSample.cpp:4068-4084) ----
+    if history.sigma is not None:
+        unproj = cam_mod.unproject_scale(cam, cfg.height)
+        shadow_img, new_sigma = sigma.denoise(
+            history.sigma, img(shadow), img(gb["shadow_hit_dist"]), img(gb["view_z"]),
+            img(gb["mv"]), tan_sun, unproj, frame, reset=reset_history,
+        )
+        shadow = flat(shadow_img)
+        new_h["sigma"] = new_sigma
+
+    # ---- diffuse/specular denoising (NRDSample.cpp:4086-4154) ----
+    if cfg.denoiser == Denoiser.RELAX:
+        s = relax.RelaxSettings(max_accumulated_frames=30)
+        d_img, new_rd = relax.denoise(
+            history.relax_diff, img(diff), img(gb["view_z"]), img(gb["normal"]),
+            img(gb["mv"]), s, reset=reset_history,
+        )
+        sp_img, new_rs = relax.denoise(
+            history.relax_spec, img(spec), img(gb["view_z"]), img(gb["normal"]),
+            img(gb["mv"]), s, reset=reset_history,
+        )
+        diff, spec = flat(d_img), flat(sp_img)
+        new_h["relax_diff"], new_h["relax_spec"] = new_rd, new_rs
+    elif cfg.denoiser == Denoiser.REBLUR:
+        s = reblur.ReblurSettings(max_accumulated_frames=30)
+        unproj = cam_mod.unproject_scale(cam, cfg.height)
+        d_img, new_rd = reblur.denoise(
+            history.reblur_diff, img(diff), img(gb["diff_hitdist"]), img(gb["view_z"]),
+            img(gb["normal"]), img(gb["roughness"]), img(gb["mv"]), frame, unproj,
+            s, is_spec=False, reset=reset_history,
+        )
+        sp_img, new_rs = reblur.denoise(
+            history.reblur_spec, img(spec), img(gb["spec_hitdist"]), img(gb["view_z"]),
+            img(gb["normal"]), img(gb["roughness"]), img(gb["mv"]), frame, unproj,
+            s, is_spec=True, reset=reset_history,
+        )
+        diff, spec = flat(d_img), flat(sp_img)
+        new_h["reblur_diff"], new_h["reblur_spec"] = new_rd, new_rs
+
+    # ---- composition (NRDSample.cpp:4158-4188) ----
+    composed = composition.compose(gb, diff, spec, shadow)
+
+    if cfg.denoiser == Denoiser.REFERENCE and history.reference is not None:
+        composed, new_ref = reference.accumulate(
+            history.reference, composed, reset=reset_history
+        )
+        new_h["reference"] = new_ref
+
+    final = composed
+    # ---- TAA (NRDSample.cpp:4339-4358) ----
+    if cfg.use_taa and history.taa is not None:
+        taa_in = img(composed * settings.exposure * 1e-2)
+        taa_out, new_taa = taa.apply(
+            history.taa, taa_in, img(gb["mv"]), img(gb["view_z"]), reset=reset_history
+        )
+        final = flat(taa_out)
+        new_h["taa"] = new_taa
+
+    outputs = {
+        "color": composed,
+        "final": final,
+        "view_z": gb["view_z"],
+        "normal": gb["normal"],
+        "shadow": shadow,
+        "diff_radiance": diff,
+        "spec_radiance": spec,
+        "gbuffer": gb,
+    }
+    return outputs, History(**new_h)
+
+
+def make_jitted_frame(ctx: traversal.TraceContext, cfg: RenderConfig):
+    """Close over static structures; jit the dynamic-arg frame function.
+
+    The analogue of pipeline creation (CreatePipelines, NRDSample.cpp:2866-2912):
+    one compile, then per-frame calls are pure dispatch.
+    """
+
+    @partial(jax.jit, donate_argnums=(3,))
+    def frame_fn(scene, cam, settings, history):
+        return render_frame(ctx, scene, cam, cfg, settings, history)
+
+    return frame_fn
+
+
+def render_converged(ctx, scene, cam, cfg, settings, n_frames: int,
+                     history: History | None = None):
+    """Accumulate n_frames with the REFERENCE denoiser (ground-truth oracle).
+
+    Uses lax.fori_loop so compile time is frame-count independent.
+    """
+    if history is None:
+        history = History.create(cfg)
+
+    def body(i, h):
+        _, h2 = render_frame(ctx, scene, cam, cfg, settings, h, reset_history=False)
+        return h2
+
+    history = jax.lax.fori_loop(0, n_frames, body, history)
+    return history.reference.accum, history

@@ -1,0 +1,351 @@
+"""TraceOpaque — the main per-pixel path tracer, re-designed wavefront-style.
+
+Reference: Shaders/TraceOpaque.cs.hlsl (805 LoC): primary ray -> G-buffer ->
+`TraceOpaque()` path loop (95-476) with probabilistic lobe split, importance
+sampling, throughput-threshold termination (no Russian roulette — the reference
+itself calls RR bad practice, 238-268), radiance cascade at every hit, and
+NRD-oriented hit-distance accumulation.
+
+TPU re-design: the per-pixel megakernel loop becomes a *batched wavefront*: all
+N = H*W rays advance in lockstep through a statically-unrolled bounce loop with
+an `alive` mask (static shapes for XLA; divergence is masked lanes, SURVEY.md
+§7.3.5). Paths (rpp) are a python loop accumulating into the same buffers.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from nrdsample_tpu import config as cfgmod
+from nrdsample_tpu.config import RenderConfig, Settings, TracingMode
+from nrdsample_tpu.mathlib import brdf, color, geometry as geo, rng, sampling
+from nrdsample_tpu.ops import traversal
+from nrdsample_tpu.render import gbuffer, lighting
+from nrdsample_tpu.scene import camera as cam_mod
+from nrdsample_tpu.scene.types import Camera, Scene
+
+
+def estimate_diffuse_probability(props: dict, use_magic_boost: bool = False):
+    """EstimateDiffuseProbability (RaytracingShared.hlsli:980-1009)."""
+    albedo, f0 = brdf.base_color_to_f0_albedo(props["base_color"], props["metalness"])
+    n_dot_v = jnp.abs(geo.dot3(props["n"], props["v"]))
+    f_env = brdf.environment_term_rtg(f0, n_dot_v, props["roughness"])
+    lum_spec = color.luminance(f_env)
+    lum_diff = color.luminance(albedo * (1.0 - f_env))
+    p = lum_diff / jnp.maximum(lum_diff + lum_spec, 1e-6)
+    if use_magic_boost:
+        f = 1.0 - jnp.exp2(-200.0 * props["roughness"] ** 2)
+        f = f * geo.pow01(props["roughness"], 0.5)
+        p = p + (1.0 - p) * f
+    p = jnp.where(p < cfgmod.PT_EVIL_TWIN_LOBE_TOLERANCE, 0.0, p)
+    p = jnp.where(p > 1.0 - cfgmod.PT_EVIL_TWIN_LOBE_TOLERANCE, 1.0, p)
+    return p
+
+
+def _burley_diffuse_term(roughness, n_dot_l, n_dot_v, v_dot_h):
+    """BRDF::DiffuseTerm_Burley (Disney diffuse), including the 1/pi."""
+    f90 = 0.5 + 2.0 * roughness * v_dot_h**2
+    fl = 1.0 + (f90 - 1.0) * (1.0 - n_dot_l) ** 5
+    fv = 1.0 + (f90 - 1.0) * (1.0 - n_dot_v) ** 5
+    return fl * fv / sampling.PI
+
+
+def generate_ray_and_update_throughput(props: dict, throughput: jnp.ndarray,
+                                       is_diffuse: jnp.ndarray, pixel_idx, frame,
+                                       dim: int, trim_lobe: bool = True):
+    """GenerateRayAndUpdateThroughput (RaytracingShared.hlsli:725-924), minus
+    hair/leaf-transmission/emissive-IS (IS added by caller via reservoir module).
+
+    Returns (ray_world [N,3], throughput' [N,3], shading_n' [N,3]).
+    """
+    n = props["n"]
+    v = props["v"]
+    v_local = sampling.to_local(v, n)
+    rnd = rng.uniform2(pixel_idx, frame, dim)
+
+    # diffuse candidate
+    ray_diff_local = sampling.cosine_ray(rnd)
+    # specular candidate via VNDF
+    trim = cfgmod.PT_SPEC_LOBE_ENERGY if trim_lobe else 1.0
+    h_local = sampling.vndf_ggx(rnd, v_local, props["roughness"], trim)
+    ray_spec_local = geo.reflect(-v_local, h_local)
+
+    ray_local = jnp.where(is_diffuse[..., None], ray_diff_local, ray_spec_local)
+
+    albedo, f0 = brdf.base_color_to_f0_albedo(props["base_color"], props["metalness"])
+    n_dot_l = jnp.clip(ray_local[..., 2], 0.0, 1.0)
+    h_full = geo.normalize(v_local + ray_local)
+    v_dot_h = jnp.abs(geo.dot3(v_local, h_full))
+    n_dot_v = jnp.abs(v_local[..., 2])
+
+    # diffuse weight: albedo * pi * Kdiff  (NoL cancelled by cosine sampling)
+    k_diff = _burley_diffuse_term(props["roughness"], n_dot_l, n_dot_v, v_dot_h)
+    w_diff = albedo * (sampling.PI * k_diff)[..., None]
+    # specular weight for VNDF sampling: F * G2/G1 = F * G1(L)  (separable Smith;
+    # see "Sampling the GGX Distribution of Visible Normals", JCGT 2018 §6)
+    f = brdf.fresnel_schlick(f0, v_dot_h)
+    alpha = props["roughness"] ** 2
+    w_spec = f * sampling.smith_g1(n_dot_l, alpha)[..., None]
+
+    throughput = throughput * jnp.where(is_diffuse[..., None], w_diff, w_spec)
+
+    ray = sampling.to_world(ray_local, n)
+
+    # Geometric backface fixes (RaytracingShared.hlsli:904-921)
+    n_geom = props["n_geom"]
+    n_dot_l_geom = geo.dot3(n_geom, ray)
+    bad = n_dot_l_geom < 0.0
+    rough_threshold = jnp.clip(props["roughness"] / 0.15, 0.0, 1.0)
+    kill_rnd = rng.uniform1(pixel_idx, frame, dim + 1)
+    kill = bad & (is_diffuse | (kill_rnd < rough_threshold))
+    throughput = jnp.where(kill[..., None], 0.0, throughput)
+    # patch low-roughness specular rays pointing inside the surface
+    b = jnp.abs(geo.dot3(n_geom, n)) * 0.99
+    patched = geo.normalize(
+        ray + n_geom * (jnp.abs(n_dot_l_geom) * geo.positive_rcp(b))[..., None]
+    )
+    patch = bad & jnp.logical_not(kill)
+    ray = jnp.where(patch[..., None], patched, ray)
+    shading_n = jnp.where(patch[..., None], geo.normalize(v + ray), n)
+    return ray, throughput, shading_n
+
+
+def trace_paths(ctx: traversal.TraceContext, scene: Scene, cam: Camera,
+                cfg: RenderConfig, settings: Settings, frame,
+                props0: dict, pixel_idx: jnp.ndarray):
+    """The TraceOpaque() path loop (TraceOpaque.cs.hlsl:95-476) for all pixels.
+
+    props0: decoded primary-hit properties. Returns dict with diff/spec radiance
+    (demodulated), normalized hit distances, and per-path bookkeeping.
+    """
+    n_px = pixel_idx.shape[0]
+    f32 = cfg.dtype
+    sun_dir = cfgmod.sun_direction(settings)
+    tan_sun = jnp.tan(jnp.deg2rad(settings.sun_angular_diameter * 0.5))
+    unproject = cam_mod.unproject_scale(cam, cfg.height)
+    view_z0 = cam_mod.world_to_view_z(cam, props0["x"])
+
+    # de-modulation factors at the primary hit (TraceOpaque.cs.hlsl:107-114):
+    # irradiance -> radiance so the denoiser works on a albedo-free signal
+    albedo0, f00 = brdf.base_color_to_f0_albedo(props0["base_color"], props0["metalness"])
+    n_dot_v0 = jnp.abs(geo.dot3(props0["n"], props0["v"]))
+    f_env0 = brdf.environment_term_rtg(f00, n_dot_v0, props0["roughness"])
+    diff_factor0 = albedo0 * (1.0 - f_env0) + 0.001
+    spec_factor0 = f_env0 + 0.001
+
+    diff_radiance = jnp.zeros((n_px, 3), f32)
+    spec_radiance = jnp.zeros((n_px, 3), f32)
+    diff_hitdist = jnp.zeros((n_px,), f32)
+    spec_hitdist = jnp.zeros((n_px,), f32)
+    diff_path_num = jnp.zeros((n_px,), f32)
+
+    px = pixel_idx % cfg.width
+    py = pixel_idx // cfg.width
+    checkerboard = rng.checkerboard(px, py, frame).astype(bool)
+
+    path_num = cfg.rpp * (2 if cfg.tracing_mode == TracingMode.FULL else 1)
+
+    for path in range(path_num):
+        lsum = jnp.zeros((n_px, 3), f32)
+        throughput = jnp.ones((n_px, 3), f32)
+        alive = jnp.logical_not(props0["miss"])
+        is_diffuse_path = jnp.zeros((n_px,), bool)
+        acc_hitdist = jnp.zeros((n_px,), f32)
+        acc_diffuse_like_motion = jnp.zeros((n_px,), f32)
+        acc_curvature = jnp.zeros((n_px,), f32)
+        props = props0
+
+        for bounce in range(1, cfg.bounce_num + 1):
+            dim_base = 10_000 * (path + 1) + 100 * bounce
+            # ---- lobe selection (TraceOpaque.cs.hlsl:178-204) ----
+            diffuse_prob = estimate_diffuse_probability(props)
+            diffuse_prob = (diffuse_prob != 0.0) * jnp.clip(
+                diffuse_prob, settings.min_probability, 1.0 - settings.min_probability
+            )
+            rnd_lobe = rng.uniform1(pixel_idx, frame, dim_base)
+            if bounce == 1 and cfg.tracing_mode == TracingMode.FULL_PROBABILISTIC:
+                # guarantee a sample in a 3x3 area for the 1st bounce: Bayer +
+                # screen-uniform Weyl decorrelation (TraceOpaque.cs.hlsl:189-197)
+                bayer = rng.bayer4x4(px, py, 0)
+                jitter = rng.weyl1d(frame)
+                rnd_lobe = jnp.mod(bayer + jitter, 1.0)
+            is_diffuse = rnd_lobe < diffuse_prob
+            if cfg.tracing_mode == TracingMode.FULL_PROBABILISTIC or bounce > 1:
+                sel_pdf = jnp.where(is_diffuse, diffuse_prob, 1.0 - diffuse_prob)
+                throughput = throughput / jnp.maximum(sel_pdf, 1e-6)[..., None]
+            elif cfg.tracing_mode == TracingMode.HALF:
+                is_diffuse = checkerboard
+            else:  # FULL: alternate paths
+                is_diffuse = jnp.full((n_px,), bool(path & 1))
+
+            if bounce == 1:
+                is_diffuse_path = is_diffuse
+
+            # ---- ray generation + throughput ----
+            ray, throughput, shading_n = generate_ray_and_update_throughput(
+                props, throughput, is_diffuse, pixel_idx, frame, dim_base + 2
+            )
+
+            # throughput-threshold termination (TraceOpaque.cs.hlsl:266-267)
+            alive = alive & (color.luminance(throughput) >= cfgmod.PT_THROUGHPUT_THRESHOLD)
+
+            # ---- cast bounce ray (TraceOpaque.cs.hlsl:277-279) ----
+            view_z = cam_mod.world_to_view_z(cam, props["x"])
+            xo = geo.offset_ray(
+                props["x"], props["n_geom"], view_z, unproject, cfgmod.PT_BOUNCE_RAY_OFFSET
+            )
+            hit = traversal.closest_hit(ctx, xo, ray)
+            props = gbuffer.decode_hit(
+                scene, hit, xo, ray, sun_dir, tan_sun, cfg.use_white_furnace,
+                settings.emission_intensity,
+            )
+
+            # ---- radiance at the hit (TraceOpaque.cs.hlsl:291-371) ----
+            # cascade: emissive -> [L1 reprojection / L2 SHARC when enabled] ->
+            # analytic lighting fallback. Round-1 path: emissive + analytic.
+            l_cached = props["lemi"]
+            direct = lighting.direct_sun_lighting(
+                props["n"], props["v"], props["base_color"], props["metalness"],
+                props["roughness"], sun_dir, tan_sun, cfg.use_white_furnace,
+            )
+            shadow = lighting.sun_shadow_ray(
+                ctx, props["x"], props["n_geom"], sun_dir, tan_sun,
+                pixel_idx, frame, unproject, view_z, dim=dim_base + 5,
+            )
+            # disable_shadows doubles as "IS enabled" in the reference; the sun
+            # NEE shadow ray is skipped then (GetLighting:675)
+            shadow = jnp.where(settings.disable_shadows > 0, 1.0, shadow)
+            l_hit = direct * shadow[..., None] + props["lemi"]
+            l_cached = jnp.where(props["miss"][..., None], l_cached, l_hit)
+
+            contrib = l_cached * throughput * alive[..., None]
+            # the primary-surface emission is written to the direct-lighting
+            # G-buffer instead (TraceOpaque main), so bounce>=1 contributions only
+            lsum = lsum + contrib
+
+            # ---- NRD hit-distance accumulation (TraceOpaque.cs.hlsl:385-397) ----
+            a = color.luminance(contrib)
+            b = color.luminance(lsum)
+            importance = a / (b + 1e-6)
+            importance = importance * (
+                1.0 - color.luminance(props["lemi"] * throughput) / (a + 1e-6)
+            )
+            diffuse_like = estimate_diffuse_probability(props, use_magic_boost=True)
+            diffuse_like = jnp.where(is_diffuse, 1.0, diffuse_like)
+            hit_t = jnp.where(alive, props["t"], 0.0)
+            thin_lens = hit_t / (2.0 * acc_curvature * hit_t + 1.0)
+            acc_hitdist = acc_hitdist + thin_lens * geo.smoothstep(
+                0.2, 0.0, acc_diffuse_like_motion
+            )
+            acc_diffuse_like_motion = acc_diffuse_like_motion + 1.0 - importance * (
+                1.0 - diffuse_like
+            )
+            acc_curvature = acc_curvature + props["curvature"]
+
+            alive = alive & jnp.logical_not(props["miss"])
+
+        # ---- accumulate per-path results (TraceOpaque.cs.hlsl:423-447) ----
+        is_diff = is_diffuse_path
+        diff_radiance = diff_radiance + jnp.where(is_diff[..., None], lsum, 0.0)
+        spec_radiance = spec_radiance + jnp.where(is_diff[..., None], 0.0, lsum)
+        diff_hitdist = diff_hitdist + jnp.where(is_diff, acc_hitdist, 0.0)
+        spec_hitdist = spec_hitdist + jnp.where(is_diff, 0.0, acc_hitdist)
+        diff_path_num = diff_path_num + is_diff.astype(f32)
+
+    # demodulation + averaging (TraceOpaque.cs.hlsl:449-468)
+    radiance_norm = 1.0 / float(cfg.rpp)
+    diff_radiance = diff_radiance / diff_factor0 * radiance_norm
+    spec_radiance = spec_radiance / spec_factor0 * radiance_norm
+    diff_norm = jnp.where(diff_path_num > 0, 1.0 / jnp.maximum(diff_path_num, 1.0), 0.0)
+    spec_cnt = path_num - diff_path_num
+    spec_norm = jnp.where(spec_cnt > 0, 1.0 / jnp.maximum(spec_cnt, 1.0), 0.0)
+    return {
+        "diff_radiance": diff_radiance,
+        "spec_radiance": spec_radiance,
+        "diff_hitdist": diff_hitdist * diff_norm,
+        "spec_hitdist": spec_hitdist * spec_norm,
+        "diff_factor": diff_factor0,
+        "spec_factor": spec_factor0,
+    }
+
+
+def trace_opaque(ctx: traversal.TraceContext, scene: Scene, cam: Camera,
+                 cfg: RenderConfig, settings: Settings, frame,
+                 pixel_idx: jnp.ndarray | None = None):
+    """Full TraceOpaque pass: primary ray + G-buffer + indirect path loop.
+
+    Mirrors TraceOpaque.cs.hlsl `main` (521-805): primary cast, G-buffer writes,
+    direct lighting, SIGMA shadow inputs, then the path loop. PSR mirror walk is
+    applied when cfg.psr_bounce_num > 0 (delta chain).
+
+    `pixel_idx` (flat indices) lets callers shard the pixel dimension across a
+    device mesh (SURVEY.md §2.4: tile/ray data-parallel sharding).
+    """
+    if pixel_idx is None:
+        pixel_idx = jnp.arange(cfg.n_pixels, dtype=jnp.int32)
+    n_px = pixel_idx.shape[0]
+    sun_dir = cfgmod.sun_direction(settings)
+    tan_sun = jnp.tan(jnp.deg2rad(settings.sun_angular_diameter * 0.5))
+    unproject = cam_mod.unproject_scale(cam, cfg.height)
+
+    origin, direction, uv = cam_mod.camera_rays(
+        cam, cfg.width, cfg.height, pixel_idx, frame
+    )
+    hit = traversal.closest_hit(ctx, origin, direction)
+    props = gbuffer.decode_hit(
+        scene, hit, origin, direction, sun_dir, tan_sun, cfg.use_white_furnace,
+        settings.emission_intensity,
+    )
+    props = gbuffer.apply_overrides(
+        props, settings.roughness_override, settings.metalness_override
+    )
+
+    view_z = jnp.where(props["miss"], cfgmod.INF, cam_mod.world_to_view_z(cam, props["x"]))
+
+    # motion vectors: static geometry for now -> Xprev = X (camera motion only)
+    mv = cam_mod.get_motion(cam, props["x"], props["x"], cfg.width, cfg.height)
+
+    # direct lighting at the primary hit: sun (unshadowed; SIGMA provides the
+    # shadow at composition) + emission (TraceOpaque.cs.hlsl:663-706)
+    direct = lighting.direct_sun_lighting(
+        props["n"], props["v"], props["base_color"], props["metalness"],
+        props["roughness"], sun_dir, tan_sun, cfg.use_white_furnace,
+    )
+    direct = jnp.where(props["miss"][..., None], 0.0, direct)
+    emission = jnp.where(
+        props["miss"][..., None],
+        lighting.sky_intensity(direction, sun_dir, tan_sun, cfg.use_white_furnace),
+        props["lemi"],
+    )
+
+    # SIGMA input: sun shadow at primary surface (penumbra pass,
+    # TraceOpaque.cs.hlsl:767-804); shadow translucency omitted round-1
+    shadow = lighting.sun_shadow_ray(
+        ctx, props["x"], props["n_geom"], sun_dir, tan_sun, pixel_idx, frame,
+        unproject, view_z, dim=501,
+    )
+    shadow = jnp.where(props["miss"], 1.0, shadow)
+    shadow = jnp.where(settings.disable_shadows > 0, 1.0, shadow)
+
+    paths = trace_paths(ctx, scene, cam, cfg, settings, frame, props, pixel_idx)
+
+    return {
+        "view_z": view_z,
+        "mv": mv,
+        "normal": props["n"],
+        "roughness": props["roughness"],
+        "metalness": props["metalness"],
+        "base_color": props["base_color"],
+        "material_id": jnp.where(
+            props["metalness"] > 0.5, cfgmod.MATERIAL_ID_METAL, cfgmod.MATERIAL_ID_DEFAULT
+        ),
+        "direct_lighting": direct,
+        "emission": emission,
+        "shadow": shadow,
+        "shadow_hit_dist": jnp.zeros_like(shadow),
+        "miss": props["miss"],
+        "primary_x": props["x"],
+        "uv": uv,
+        **paths,
+    }
