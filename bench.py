@@ -17,9 +17,10 @@ import time
 BASELINE_RAYS_PER_S_PER_CHIP = 62.5e6
 
 
-def count_rays_per_pixel(cfg) -> int:
-    """Rays cast per pixel per frame: primary + primary shadow +
-    rpp * bounces * (bounce ray + shadow ray)."""
+def count_rays_per_pixel(cfg, scene=None) -> int:
+    """Full-traversal rays cast per pixel per frame: primary + primary shadow +
+    rpp * bounces * (bounce ray + shadow ray). Emissive-IS light probes test
+    only the tiny emissive set, so they are not counted as traversal rays."""
     return 2 + cfg.rpp * cfg.bounce_num * 2
 
 
@@ -35,7 +36,7 @@ def main():
 
     size = 512
     scene = procedural.shader_balls(grid=3, sphere_res=24)
-    ctx = traversal.build_context(scene.tris)
+    ctx, scene = traversal.build_context(scene)
     cam = look_at(eye=[0.0, -9.0, 4.5], target=[0.0, 0.0, 0.8], fov_y_deg=50.0)
     cfg = RenderConfig(
         width=size, height=size, rpp=1, bounce_num=2,

@@ -59,7 +59,7 @@ def cmd_render(args) -> int:
     _register_scenes()
     scene = SCENES[args.scene]()
     eye, target, fov = DEFAULT_CAMERAS[args.scene]
-    ctx = traversal.build_context(scene.tris)
+    ctx, scene = traversal.build_context(scene)
     cam = look_at(eye=eye, target=target, fov_y_deg=fov, aspect=args.size / args.size)
     cfg = RenderConfig(
         width=args.size, height=args.size, rpp=args.rpp, bounce_num=args.bounces,

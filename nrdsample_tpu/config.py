@@ -152,6 +152,7 @@ class RenderConfig:
     use_sharc: bool = False
     sharc_capacity: int = SHARC_CAPACITY
     sharc_downscale: int = SHARC_DOWNSCALE
+    use_l1_cache: bool = False   # prev-frame screen-space irradiance reprojection
     use_white_furnace: bool = False   # USE_WHITE_FURNACE energy-conservation test
     use_translucency: bool = True
     denoiser: Denoiser = Denoiser.REFERENCE
@@ -192,7 +193,7 @@ class Settings:
     max_accumulated_frame_num: jnp.ndarray = dataclasses.field(default_factory=lambda: jnp.int32(31))
     min_probability: jnp.ndarray = dataclasses.field(default_factory=lambda: jnp.float32(0.0))
     disable_shadows: jnp.ndarray = dataclasses.field(default_factory=lambda: jnp.int32(0))
-    prev_frame_confidence: jnp.ndarray = dataclasses.field(default_factory=lambda: jnp.float32(0.0))
+    prev_frame_confidence: jnp.ndarray = dataclasses.field(default_factory=lambda: jnp.float32(1.0))
 
     def to_flat(self) -> dict:
         return {f.name: getattr(self, f.name) for f in dataclasses.fields(self)}

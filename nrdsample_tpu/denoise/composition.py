@@ -24,7 +24,15 @@ def compose(gb: dict, diff_radiance: jnp.ndarray, spec_radiance: jnp.ndarray,
     direct = gb["direct_lighting"] * shadow[..., None] + gb["emission"]
     diff = diff_radiance * gb["diff_factor"]
     spec = spec_radiance * gb["spec_factor"]
-    return direct + diff + spec
+    # PSR: indirect signals live on the virtual mirror surface; re-apply the
+    # mirror-chain throughput and the emission collected along the walk
+    # (Composition.cs.hlsl:190-194)
+    psr_t = gb.get("psr_throughput")
+    out = direct + (diff + spec) * (psr_t if psr_t is not None else 1.0)
+    l_psr = gb.get("l_psr")
+    if l_psr is not None:
+        out = out + l_psr
+    return out
 
 
 def debug_view(on_screen: int, gb: dict, composed: jnp.ndarray) -> jnp.ndarray:

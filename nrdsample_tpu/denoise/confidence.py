@@ -1,0 +1,80 @@
+"""History-confidence pipeline: gradient -> à-trous blur -> confidence map.
+
+Reference: Shaders/ConfidenceBlur.cs.hlsl (106 LoC): 5-iteration à-trous
+cross-bilateral blur of the lighting-change gradient produced by SharcUpdate's
+prev-frame retrace (SharcUpdate.cs.hlsl:222-250: |L_prev_retraced -
+L_prev_stored| with z-occlusion rejection), then gradient -> confidence via
+inverse tonemap + sRGB + (RELAX squaring) + Bayer dithering (91-103). The
+confidence plane feeds the denoisers' history clamp (gPrevFrameConfidence).
+
+The gradient input here is the luminance change of the re-lit low-res probe
+field between frames (same signal, cheaper derivation).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+
+from nrdsample_tpu.denoise import common
+from nrdsample_tpu.mathlib import color, rng
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class ConfidenceHistory:
+    probe_lum: jnp.ndarray   # (Hs, Ws) last frame's probe luminance
+
+    @staticmethod
+    def create(hs: int, ws: int, dtype=jnp.float32) -> "ConfidenceHistory":
+        return ConfidenceHistory(probe_lum=jnp.zeros((hs, ws), dtype))
+
+
+def gradient_from_probes(hist: ConfidenceHistory, probe_radiance: jnp.ndarray):
+    """|L_now - L_prev| luminance gradient at probe resolution."""
+    lum = color.luminance(probe_radiance)
+    grad = jnp.abs(lum - hist.probe_lum)
+    return grad, ConfidenceHistory(probe_lum=lum)
+
+
+def atrous_blur(grad: jnp.ndarray, view_z: jnp.ndarray, normal: jnp.ndarray,
+                iterations: int = 5):
+    """5-iteration cross-bilateral à-trous blur of the gradient
+    (ConfidenceBlur.cs.hlsl:33-87): Gaussian x plane-distance x normal² weights."""
+    gauss = [0.25, 0.5, 0.25]
+    out = grad
+    for it in range(iterations):
+        step = 1 << it
+        acc = jnp.zeros_like(out)
+        acc_w = jnp.zeros_like(out)
+        for iy, ky in enumerate(gauss):
+            for ix, kx in enumerate(gauss):
+                dy, dx = (iy - 1) * step, (ix - 1) * step
+                g_n = common.shifted(out, dy, dx)
+                z_n = common.shifted(view_z, dy, dx)
+                n_n = common.shifted(normal, dy, dx)
+                wz = jnp.exp(
+                    -jnp.abs(z_n - view_z) / jnp.maximum(jnp.abs(view_z) * 0.1, 1e-3)
+                )
+                wn = jnp.clip(jnp.sum(n_n * normal, axis=-1), 0.0, 1.0) ** 2
+                w = ky * kx * wz * wn
+                acc = acc + g_n * w
+                acc_w = acc_w + w
+        out = acc / jnp.maximum(acc_w, 1e-9)
+    return out
+
+
+def gradient_to_confidence(grad: jnp.ndarray, frame, relax_square: bool = False):
+    """Map a blurred gradient to [0,1] history confidence
+    (ConfidenceBlur.cs.hlsl:91-103): big change -> low confidence."""
+    c = 1.0 - jnp.clip(color.inverse_tonemap_lum(jnp.clip(grad, 0.0, 0.99)), 0.0, 1.0)
+    c = color.linear_to_srgb(c[..., None])[..., 0]
+    if relax_square:
+        c = c * c
+    h, w = c.shape
+    px = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
+    py = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
+    dither = (rng.bayer4x4(px, py, frame) - 0.5) * (1.0 / 16.0)
+    return jnp.clip(c + dither, 0.0, 1.0)

@@ -72,8 +72,10 @@ _POISSON_8 = [  # unit-disk poisson taps (8), classic REBLUR-style set
 
 def spec_magic_curve(roughness):
     """GetSpecMagicCurve (Shared.hlsli:305-311)."""
+    from nrdsample_tpu.mathlib import geometry as geo
+
     f = 1.0 - jnp.exp2(-200.0 * roughness * roughness)
-    return f * jnp.power(jnp.clip(roughness, 0.0, 1.0), 0.5)
+    return f * geo.pow01(roughness, 0.5)
 
 
 def _rot2(frame):

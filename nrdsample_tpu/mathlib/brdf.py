@@ -90,4 +90,6 @@ def estimate_diffuse_probability(albedo, f0, roughness, n_dot_v, eps: float = 1e
 
 
 def _normalize(v):
-    return v / jnp.maximum(jnp.linalg.norm(v, axis=-1, keepdims=True), 1e-20)
+    from nrdsample_tpu.mathlib.geometry import normalize
+
+    return normalize(v)

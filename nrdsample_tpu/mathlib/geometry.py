@@ -9,6 +9,7 @@ projection; here we simply define view space as camera-local with +Z forward so
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 
@@ -16,12 +17,15 @@ def dot3(a, b):
     return jnp.sum(a * b, axis=-1)
 
 
-def length(v):
-    return jnp.linalg.norm(v, axis=-1)
+def length(v, eps: float = 1e-15):
+    """Gradient-safe |v|: sqrt is evaluated on a clamped argument so the
+    zero-vector case has a finite (zero) gradient instead of NaN."""
+    return jnp.sqrt(jnp.maximum(jnp.sum(v * v, axis=-1), eps * eps))
 
 
-def normalize(v, eps: float = 1e-20):
-    return v / jnp.maximum(jnp.linalg.norm(v, axis=-1, keepdims=True), eps)
+def normalize(v, eps: float = 1e-15):
+    n2 = jnp.sum(v * v, axis=-1, keepdims=True)
+    return v * jax.lax.rsqrt(jnp.maximum(n2, eps * eps))
 
 
 def cross(a, b):
@@ -74,12 +78,15 @@ def reflect(v: jnp.ndarray, n: jnp.ndarray) -> jnp.ndarray:
 
 
 def refract(v: jnp.ndarray, n: jnp.ndarray, eta) -> jnp.ndarray:
-    """Refract incident v (pointing into surface) about n; returns 0 on TIR."""
+    """Refract incident v (pointing into surface) about n; returns 0 on TIR.
+
+    eta = n_i / n_t, scalar or per-element array broadcastable to v[..., 0]."""
+    eta = jnp.asarray(eta)
     cos_i = -dot3(v, n)
     sin2_t = (eta**2) * jnp.maximum(0.0, 1.0 - cos_i**2)
     tir = sin2_t > 1.0
     cos_t = jnp.sqrt(jnp.maximum(0.0, 1.0 - sin2_t))
-    r = eta * v + (eta * cos_i - cos_t)[..., None] * n
+    r = eta[..., None] * v + (eta * cos_i - cos_t)[..., None] * n
     return jnp.where(tir[..., None], jnp.zeros_like(r), r)
 
 
@@ -108,11 +115,17 @@ def smoothstep(a, b, x):
 
 
 def pow01(x, e):
-    return jnp.power(jnp.clip(x, 0.0, 1.0), e)
+    """x^e on [0,1], gradient-safe at 0 (d/dx x^e -> inf for e<1 would poison
+    autodiff through 0*inf=NaN; the where-guard zeroes that branch)."""
+    xc = jnp.clip(x, 0.0, 1.0)
+    safe = jnp.power(jnp.maximum(xc, 1e-9), e)
+    return jnp.where(xc <= 0.0, 0.0, safe)
 
 
 def sqrt01(x):
-    return jnp.sqrt(jnp.clip(x, 0.0, 1.0))
+    """sqrt on [0,1], gradient-safe at 0 (same rationale as pow01)."""
+    xc = jnp.clip(x, 0.0, 1.0)
+    return jnp.where(xc <= 0.0, 0.0, jnp.sqrt(jnp.maximum(xc, 1e-12)))
 
 
 def positive_rcp(x, eps: float = 1e-15):

@@ -1,0 +1,263 @@
+"""Packet traversal — the Pallas TPU kernel for ray-cluster intersection.
+
+This is the speed-of-light path for `TraceRayInline` (SURVEY.md §7.3 hard part
+#1). The XLA cluster scan (ops/cluster.py) is limited by (a) batch-wide
+while_loop convergence — every iteration pays for ALL rays until the slowest
+finishes — and (b) per-ray gathers, which run ~20x below HBM peak on TPU.
+
+Design (classic packet traversal, TPU-shaped):
+  * rays are grouped into BLOCK_RAYS-sized packets (screen-coherent);
+  * stage 1 (XLA, dense) computes each packet's shared cluster worklist:
+    clusters any ray in the packet enters, sorted by packet-min entry distance;
+  * the Pallas kernel runs one grid step per packet. The TPU grid is sequential
+    on the core, so each packet runs its OWN while-loop trip count — divergence
+    costs sum(block counts), not R x max(count). The cluster id per iteration is
+    block-uniform, so triangle fetch is a *dynamic slice* of the VMEM-resident
+    table — no gathers anywhere.
+  * triangle data is component-split (x/y/z planes) so all math is full-lane
+    (BLOCK_RAYS, CLUSTER_SIZE) elementwise VPU work.
+
+Current limit: the triangle table must fit VMEM (~300k tris at 64B/tri eff.);
+larger scenes fall back to the XLA path (HBM-streaming double-buffer variant is
+the follow-up).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from nrdsample_tpu.ops.cluster import CLUSTER_SIZE, ClusterSet, _cluster_entry
+from nrdsample_tpu.ops.intersect import T_MAX
+
+BLOCK_RAYS = 512
+EPS = 1e-7
+
+
+def _mt_block(ox, oy, oz, dx, dy, dz, p0x, p0y, p0z, e1x, e1y, e1z, e2x, e2y, e2z):
+    """Möller-Trumbore on (B, 1) rays x (1, K) triangles -> (B, K) planes."""
+    pvx = dy * e2z - dz * e2y
+    pvy = dz * e2x - dx * e2z
+    pvz = dx * e2y - dy * e2x
+    det = e1x * pvx + e1y * pvy + e1z * pvz
+    inv_det = jnp.where(jnp.abs(det) < EPS, 0.0, 1.0 / jnp.where(det == 0.0, 1.0, det))
+    tvx = ox - p0x
+    tvy = oy - p0y
+    tvz = oz - p0z
+    u = (tvx * pvx + tvy * pvy + tvz * pvz) * inv_det
+    qvx = tvy * e1z - tvz * e1y
+    qvy = tvz * e1x - tvx * e1z
+    qvz = tvx * e1y - tvy * e1x
+    v = (dx * qvx + dy * qvy + dz * qvz) * inv_det
+    t = (e2x * qvx + e2y * qvy + e2z * qvz) * inv_det
+    hit = (
+        (jnp.abs(det) >= EPS)
+        & (u >= -1e-6)
+        & (v >= -1e-6)
+        & (u + v <= 1.0 + 1e-6)
+        & (t > 1e-5)
+    )
+    return t, u, v, hit
+
+
+PACKETS_PER_STEP = 8  # TPU block shapes need >= 8 sublanes; each grid step
+                      # therefore runs 8 independent packet loops sequentially
+
+
+def _packet_kernel(order_ref, keys_ref,
+                   ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, tmax_ref,
+                   p0x_ref, p0y_ref, p0z_ref, e1x_ref, e1y_ref, e1z_ref,
+                   e2x_ref, e2y_ref, e2z_ref,
+                   t_out, u_out, v_out, tri_out, any_hit: bool):
+    """One grid step = PACKETS_PER_STEP ray packets (static unroll). Tables are
+    full-VMEM residents.
+
+    No explicit worklist length: sorted keys are T_MAX past the end, and the
+    block-level t-pruning condition (key_i < max(t_best)) is false there since
+    t_best <= t_max <= T_MAX — each loop self-terminates."""
+    c = order_ref.shape[1]
+    for p in range(PACKETS_PER_STEP):
+        _one_packet(
+            p, c, order_ref, keys_ref, ox_ref, oy_ref, oz_ref, dx_ref, dy_ref,
+            dz_ref, tmax_ref, p0x_ref, p0y_ref, p0z_ref, e1x_ref, e1y_ref,
+            e1z_ref, e2x_ref, e2y_ref, e2z_ref, t_out, u_out, v_out, tri_out,
+            any_hit,
+        )
+
+
+def _one_packet(p, c, order_ref, keys_ref,
+                ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, tmax_ref,
+                p0x_ref, p0y_ref, p0z_ref, e1x_ref, e1y_ref, e1z_ref,
+                e2x_ref, e2y_ref, e2z_ref,
+                t_out, u_out, v_out, tri_out, any_hit: bool):
+    ox = ox_ref[p, :][:, None]
+    oy = oy_ref[p, :][:, None]
+    oz = oz_ref[p, :][:, None]
+    dx = dx_ref[p, :][:, None]
+    dy = dy_ref[p, :][:, None]
+    dz = dz_ref[p, :][:, None]
+
+    t0 = tmax_ref[p, :]
+    init = (
+        jnp.int32(0),
+        t0,
+        jnp.zeros_like(t0),
+        jnp.zeros_like(t0),
+        jnp.full(t0.shape, -1, jnp.int32),
+    )
+
+    def cond(state):
+        i, t_best, _, _, _ = state
+        in_range = i < c
+        # block-level t-pruning: the worklist is sorted by packet-min entry
+        # distance, so once it exceeds every ray's closest hit we are done
+        key_i = keys_ref[p, jnp.minimum(i, c - 1)]
+        not_pruned = key_i < jnp.max(t_best)
+        if any_hit:
+            # for occlusion we only need *a* hit inside t_max
+            undone = jnp.any(t_best >= tmax_ref[p, :])
+            return in_range & not_pruned & undone
+        return in_range & not_pruned
+
+    def body(state):
+        i, t_best, u_best, v_best, tri_best = state
+        cid = order_ref[p, i]
+        base = pl.ds(cid, 1)
+        p0x = p0x_ref[base, :]  # (1, K)
+        p0y = p0y_ref[base, :]
+        p0z = p0z_ref[base, :]
+        e1x = e1x_ref[base, :]
+        e1y = e1y_ref[base, :]
+        e1z = e1z_ref[base, :]
+        e2x = e2x_ref[base, :]
+        e2y = e2y_ref[base, :]
+        e2z = e2z_ref[base, :]
+        t, u, v, hit = _mt_block(
+            ox, oy, oz, dx, dy, dz,
+            p0x, p0y, p0z, e1x, e1y, e1z, e2x, e2y, e2z,
+        )
+        t = jnp.where(hit & (t < t_best[:, None]), t, T_MAX)
+        arg = jnp.argmin(t, axis=-1)
+        tmin = jnp.min(t, axis=-1)
+        closer = tmin < t_best
+        t_best = jnp.where(closer, tmin, t_best)
+        u_sel = jnp.take_along_axis(u, arg[:, None], axis=-1)[:, 0]
+        v_sel = jnp.take_along_axis(v, arg[:, None], axis=-1)[:, 0]
+        u_best = jnp.where(closer, u_sel, u_best)
+        v_best = jnp.where(closer, v_sel, v_best)
+        tri_best = jnp.where(
+            closer, cid * CLUSTER_SIZE + arg.astype(jnp.int32), tri_best
+        )
+        return i + 1, t_best, u_best, v_best, tri_best
+
+    _, t_best, u_best, v_best, tri_best = jax.lax.while_loop(cond, body, init)
+    t_out[p, :] = t_best
+    u_out[p, :] = u_best
+    v_out[p, :] = v_best
+    tri_out[p, :] = tri_best
+
+
+def _block_worklists(origin, direction, cs: ClusterSet, t_max, block: int):
+    """Stage 1: per-packet shared cluster worklist (XLA, dense)."""
+    r = origin.shape[0]
+    c = cs.count
+    nb = r // block
+    entry = _cluster_entry(origin, direction, cs, t_max)       # (R, C)
+    entry_b = entry.reshape(nb, block, c)
+    block_near = jnp.min(entry_b, axis=1)                      # (nb, C)
+    hit = block_near < T_MAX
+    key = jnp.where(hit, block_near, T_MAX)
+    order = jnp.argsort(key, axis=1).astype(jnp.int32)         # (nb, C)
+    keys_sorted = jnp.take_along_axis(key, order, axis=1)
+    count = jnp.sum(hit, axis=1).astype(jnp.int32)             # (nb,)
+    return order, keys_sorted, count
+
+
+def packet_tables(cs: ClusterSet):
+    """Component-split (C, K) triangle tables for the kernel."""
+    return tuple(
+        arr[..., k]
+        for arr in (cs.p0_b, cs.e1_b, cs.e2_b)
+        for k in range(3)
+    )
+
+
+def vmem_table_bytes(cs: ClusterSet) -> int:
+    return cs.count * CLUSTER_SIZE * 9 * 4
+
+
+def closest_hit_packet(cs: ClusterSet, origin, direction, t_max=T_MAX,
+                       block: int = BLOCK_RAYS, interpret: bool = False):
+    """Packet-traversal closest hit: origin/direction (R, 3), R % block == 0
+    after padding (handled here). Returns dict(t, u, v, tri)."""
+    r = origin.shape[0]
+    pad = (-r) % (block * PACKETS_PER_STEP)
+    if pad:
+        origin = jnp.concatenate(
+            [origin, jnp.zeros((pad, 3), origin.dtype)], axis=0
+        )
+        direction = jnp.concatenate(
+            [direction, jnp.broadcast_to(jnp.array([0.0, 0.0, 1.0]), (pad, 3))], axis=0
+        )
+    rp = r + pad
+    t_max = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (r,))
+    tm = jnp.concatenate([t_max, jnp.zeros((pad,), jnp.float32)], axis=0) if pad else t_max
+
+    nb = rp // block
+    order, keys_sorted, count = _block_worklists(origin, direction, cs, tm, block)
+
+    o_c = [origin[:, k].reshape(nb, block) for k in range(3)]
+    d_c = [direction[:, k].reshape(nb, block) for k in range(3)]
+    tmb = tm.reshape(nb, block)
+    tables = packet_tables(cs)
+
+    c = cs.count
+    pps = PACKETS_PER_STEP
+    row_spec = pl.BlockSpec((pps, block), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    wl_spec = pl.BlockSpec((pps, c), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    table_spec = pl.BlockSpec(
+        (c, CLUSTER_SIZE), lambda i: (0, 0), memory_space=pltpu.VMEM
+    )
+
+    kernel = functools.partial(_packet_kernel, any_hit=False)
+    out_shape = [
+        jax.ShapeDtypeStruct((nb, block), jnp.float32),
+        jax.ShapeDtypeStruct((nb, block), jnp.float32),
+        jax.ShapeDtypeStruct((nb, block), jnp.float32),
+        jax.ShapeDtypeStruct((nb, block), jnp.int32),
+    ]
+    t, u, v, tri = pl.pallas_call(
+        kernel,
+        grid=(nb // pps,),
+        in_specs=[
+            wl_spec,   # order
+            wl_spec,   # keys
+            *([row_spec] * 7),   # ox..dz, tmax
+            *([table_spec] * 9),
+        ],
+        out_specs=[row_spec] * 4,
+        out_shape=out_shape,
+        interpret=interpret,
+    )(order, keys_sorted, *o_c, *d_c, tmb, *tables)
+
+    res = {
+        "t": t.reshape(-1)[:r],
+        "u": u.reshape(-1)[:r],
+        "v": v.reshape(-1)[:r],
+        "tri": tri.reshape(-1)[:r],
+    }
+    # rays that found nothing keep tri = -1; clamp t to t_max semantics
+    res["t"] = jnp.where(res["tri"] >= 0, res["t"], T_MAX)
+    return res
+
+
+def any_hit_packet(cs: ClusterSet, origin, direction, t_max,
+                   block: int = BLOCK_RAYS, interpret: bool = False):
+    """Occlusion query via the same kernel (closest-hit then compare)."""
+    res = closest_hit_packet(cs, origin, direction, t_max, block, interpret)
+    t_max = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), origin.shape[:1])
+    return (res["tri"] >= 0) & (res["t"] < t_max)

@@ -174,51 +174,184 @@ def occluded_bvh8(origin, direction, bvh: BVH8, tri_p0, tri_e1, tri_e2, t_max):
 class TraceContext:
     """Static wrapper bundling the acceleration data for a scene.
 
-    Built once per scene (host); holds the BVH8 only when the scene is large
-    enough to need it. The reference analogue is the TLAS pair + instance
-    buffers bound in SET_RAY_TRACING (RaytracingShared.hlsli:3-16).
+    Built once per scene (host). `mode` selects the traversal strategy:
+      "dense"   — brute-force tiled intersection (small scenes; speed of light)
+      "cluster" — dense cluster culling + nearest-first bounded scan (default
+                  for big scenes on TPU; see ops/cluster.py)
+      "bvh8"    — stack-based wide-BVH traversal (reference implementation,
+                  CPU-friendly, used to cross-validate)
+    The reference analogue is the TLAS pair + instance buffers bound in
+    SET_RAY_TRACING (RaytracingShared.hlsli:3-16).
     """
 
-    def __init__(self, tris, bvh: BVH8 | None):
+    def __init__(self, tris, mode: str, bvh=None, clusters=None, tri_offset: int = 0):
         self.tris = tris
+        self.mode = mode
         self.bvh = bvh
+        self.clusters = clusters
+        # offset of this context's triangle range inside the merged scene array
+        # (two-TLAS analogue: opaque range + transparent range, NRDSample.cpp
+        # GEOMETRY masks; hit indices are returned in GLOBAL scene coordinates)
+        self.tri_offset = tri_offset
 
     @property
     def use_dense(self) -> bool:
-        return self.bvh is None
+        return self.mode == "dense"
 
 
-def build_context(tris, force_dense: bool | None = None) -> "TraceContext":
+def build_context(scene, mode: str | None = None):
+    """Build acceleration data for `scene` (a Scene pytree or bare TriangleSoA).
+
+    Returns (TraceContext, scene') — scene' has its triangles REORDERED (and,
+    for cluster mode, padded) so hit indices from traversal decode against the
+    same arrays; the emissive IS list is remapped through the permutation.
+    Always use the returned scene with this context.
+    """
     import numpy as np
 
     from nrdsample_tpu.scene.bvh import build_bvh8, reorder_tris
+    from nrdsample_tpu.scene.types import Scene
 
+    bare = not isinstance(scene, Scene)
+    tris = scene if bare else scene.tris
     n = tris.count
-    dense = (n <= DENSE_CUTOFF) if force_dense is None else force_dense
-    if dense:
-        return TraceContext(tris, None)
-    bvh, order = build_bvh8(
-        np.asarray(tris.p0), np.asarray(tris.e1), np.asarray(tris.e2)
+    if mode is None:
+        mode = "dense" if n <= DENSE_CUTOFF else "cluster"
+
+    if mode == "dense":
+        ctx = TraceContext(tris, "dense")
+        ctx.order = None
+        return ctx, scene
+
+    if mode == "cluster":
+        from nrdsample_tpu.ops.cluster import build_clusters
+
+        cs, tris_p, order = build_clusters(tris)
+        ctx = TraceContext(tris_p, "cluster", clusters=cs)
+        new_tris = tris_p
+    elif mode == "bvh8":
+        bvh, order = build_bvh8(
+            np.asarray(tris.p0), np.asarray(tris.e1), np.asarray(tris.e2)
+        )
+        new_tris = reorder_tris(tris, order)
+        ctx = TraceContext(new_tris, "bvh8", bvh=bvh)
+    else:
+        raise ValueError(f"unknown traversal mode {mode!r}")
+    ctx.order = order
+
+    if bare:
+        return ctx, new_tris
+
+    # remap emissive triangle indices old->new through the permutation
+    import dataclasses as dc
+
+    inv = np.empty(len(order), np.int32)
+    inv[np.asarray(order)] = np.arange(len(order), dtype=np.int32)
+    em = np.asarray(scene.emissive_tris)
+    em_new = np.where(em >= 0, inv[np.clip(em, 0, len(order) - 1)], -1).astype(np.int32)
+    new_scene = dc.replace(
+        scene, tris=new_tris, emissive_tris=jnp.asarray(em_new)
     )
-    tris = reorder_tris(tris, order)
-    return TraceContext(tris, bvh)
+    return ctx, new_scene
 
 
 def closest_hit(ctx: TraceContext, origin, direction, t_max=T_MAX):
     """Closest-hit dispatch. Hit results are detached (non-differentiable
-    decisions, SURVEY.md §7.1); shading recomputes continuous quantities."""
+    decisions, SURVEY.md §7.1); shading recomputes continuous quantities.
+    Returned tri indices are in global scene coordinates (ctx.tri_offset)."""
     tr = ctx.tris
     o = jax.lax.stop_gradient(origin)
     d = jax.lax.stop_gradient(direction)
-    if ctx.use_dense:
-        return intersect.intersect_dense(o, d, tr.p0, tr.e1, tr.e2, t_max=t_max)
-    return traverse_bvh8(o, d, ctx.bvh, tr.p0, tr.e1, tr.e2, t_max=t_max)
+    if ctx.mode == "dense":
+        res = intersect.intersect_dense(o, d, tr.p0, tr.e1, tr.e2, t_max=t_max)
+    elif ctx.mode == "cluster":
+        from nrdsample_tpu.ops.cluster import closest_hit_clustered
+
+        res = closest_hit_clustered(ctx.clusters, tr, o, d, t_max=t_max)
+    else:
+        res = traverse_bvh8(o, d, ctx.bvh, tr.p0, tr.e1, tr.e2, t_max=t_max)
+    if ctx.tri_offset:
+        res = dict(res, tri=jnp.where(res["tri"] >= 0, res["tri"] + ctx.tri_offset, -1))
+    return res
+
+
+class SceneContexts:
+    """Opaque + transparent trace contexts over one merged scene — the analogue
+    of the reference's world TLAS with FLAG_NON_TRANSPARENT / FLAG_TRANSPARENT
+    instance masks (Shared.hlsli:156-165, TraceTransparent.cs.hlsl:193-198)."""
+
+    def __init__(self, opaque: TraceContext, transparent: TraceContext | None):
+        self.opaque = opaque
+        self.transparent = transparent
+
+
+def build_scene_contexts(scene, mode: str | None = None):
+    """Partition the scene into opaque/transparent ranges, build a context for
+    each, and return (SceneContexts, merged scene) with remapped emissive ids."""
+    import dataclasses as dc
+
+    import numpy as np
+
+    from nrdsample_tpu import config as cfgmod
+
+    flags = np.asarray(scene.materials.flags)[np.asarray(scene.tris.material)]
+    is_trans = (flags & cfgmod.FLAG_TRANSPARENT) != 0
+    if not is_trans.any():
+        ctx, scene2 = build_context(scene, mode)
+        return SceneContexts(ctx, None), scene2
+
+    order0 = np.concatenate([np.nonzero(~is_trans)[0], np.nonzero(is_trans)[0]])
+    n_opaque = int((~is_trans).sum())
+
+    def gather_tris(tris, ids):
+        return jax.tree.map(lambda a: a[jnp.asarray(ids.astype(np.int32))], tris)
+
+    tris_o = gather_tris(scene.tris, order0[:n_opaque])
+    tris_t = gather_tris(scene.tris, order0[n_opaque:])
+
+    ctx_o, tris_o2 = build_context(tris_o, mode)
+    ctx_t, tris_t2 = build_context(tris_t, mode)
+    offset = tris_o2.count
+    ctx_t.tri_offset = offset
+
+    merged = jax.tree.map(
+        lambda a, b: jnp.concatenate([a, b], axis=0), tris_o2, tris_t2
+    )
+
+    # emissive remap: old scene index -> merged index. Each build_context may
+    # have internally permuted its subset; recover by matching through both maps
+    # (host-side, cheap).
+    # Build the composed old->new map by replaying the permutations: both
+    # build_context calls record their order on the context.
+    old_to_new = np.full(scene.tris.count, -1, np.int64)
+    o_order = getattr(ctx_o, "order", None)
+    t_order = getattr(ctx_t, "order", None)
+    ids_o = order0[:n_opaque]
+    ids_t = order0[n_opaque:]
+    if o_order is not None:
+        ids_o = ids_o[o_order]
+    if t_order is not None:
+        ids_t = ids_t[t_order]
+    old_to_new[ids_o] = np.arange(len(ids_o))
+    old_to_new[ids_t] = offset + np.arange(len(ids_t))
+
+    em = np.asarray(scene.emissive_tris)
+    em_new = np.where(
+        em >= 0, old_to_new[np.clip(em, 0, scene.tris.count - 1)], -1
+    ).astype(np.int32)
+
+    scene2 = dc.replace(scene, tris=merged, emissive_tris=jnp.asarray(em_new))
+    return SceneContexts(ctx_o, ctx_t), scene2
 
 
 def any_hit(ctx: TraceContext, origin, direction, t_max):
     tr = ctx.tris
     o = jax.lax.stop_gradient(origin)
     d = jax.lax.stop_gradient(direction)
-    if ctx.use_dense:
+    if ctx.mode == "dense":
         return intersect.occluded_dense(o, d, tr.p0, tr.e1, tr.e2, t_max=t_max)
+    if ctx.mode == "cluster":
+        from nrdsample_tpu.ops.cluster import any_hit_clustered
+
+        return any_hit_clustered(ctx.clusters, tr, o, d, t_max)
     return occluded_bvh8(o, d, ctx.bvh, tr.p0, tr.e1, tr.e2, t_max=t_max)

@@ -40,11 +40,21 @@ class History:
     reblur_spec: Any = None
     sigma: Any = None                 # sigma.SigmaHistory
     taa: Any = None                   # taa.TaaHistory
+    sharc: Any = None                 # sharc.SharcState (L2 radiance cache)
+    l1: Any = None                    # l1cache.L1History (prev-frame irradiance)
 
     @staticmethod
     def create(cfg: RenderConfig) -> "History":
         h, w, dt = cfg.height, cfg.width, cfg.dtype
         kw: dict[str, Any] = {"frame_index": jnp.int32(0)}
+        if cfg.use_sharc:
+            from nrdsample_tpu.ops import sharc as sharc_mod
+
+            kw["sharc"] = sharc_mod.SharcState.create(cfg.sharc_capacity, dt)
+        if cfg.use_l1_cache:
+            from nrdsample_tpu.render import l1cache
+
+            kw["l1"] = l1cache.L1History.create(h, w, dt)
         if cfg.denoiser == Denoiser.REFERENCE:
             kw["reference"] = reference.ReferenceHistory.create(cfg.n_pixels, dt)
         elif cfg.denoiser == Denoiser.RELAX:
@@ -69,9 +79,30 @@ def render_frame(ctx: traversal.TraceContext, scene: Scene, cam: Camera,
     post-TAA when enabled. `pixel_idx` shards the pixel dimension by rows
     (history must then be row-sharded identically; denoiser stencils then see
     clamped shard edges until halo exchange lands — parallel/halo.py).
+
+    `ctx` may be a TraceContext (opaque-only scene) or SceneContexts (scene with
+    glass; adds the TraceTransparent pass).
     """
+    ctxs = (
+        ctx if isinstance(ctx, traversal.SceneContexts)
+        else traversal.SceneContexts(ctx, None)
+    )
     frame = history.frame_index
-    gb = trace_opaque.trace_opaque(ctx, scene, cam, cfg, settings, frame, pixel_idx)
+
+    # ---- SHARC cache update + resolve (NRDSample.cpp:3965-3997) ----
+    sharc_state = history.sharc
+    if cfg.use_sharc and sharc_state is not None:
+        from nrdsample_tpu.render import sharc_update
+
+        sharc_state = sharc_update.sharc_update_pass(
+            ctxs.opaque, scene, cam, cfg, settings, frame, sharc_state
+        )
+
+    gb = trace_opaque.trace_opaque(
+        ctxs.opaque, scene, cam, cfg, settings, frame, pixel_idx,
+        sharc_state if cfg.use_sharc else None,
+        history.l1 if cfg.use_l1_cache else None,
+    )
 
     n_local = gb["view_z"].shape[0]
     w = cfg.width
@@ -132,6 +163,19 @@ def render_frame(ctx: traversal.TraceContext, scene: Scene, cam: Camera,
     # ---- composition (NRDSample.cpp:4158-4188) ----
     composed = composition.compose(gb, diff, spec, shadow)
 
+    # ---- TraceTransparent glass overlay (NRDSample.cpp:4190-4211) ----
+    if ctxs.transparent is not None:
+        from nrdsample_tpu.render import trace_transparent as tt
+
+        pidx = (
+            pixel_idx if pixel_idx is not None
+            else jnp.arange(cfg.n_pixels, dtype=jnp.int32)
+        )
+        composed, _glass = tt.trace_transparent(
+            ctxs, scene, cam, cfg, settings, frame, composed, gb, pidx,
+            sharc_state if cfg.use_sharc else None,
+        )
+
     if cfg.denoiser == Denoiser.REFERENCE and history.reference is not None:
         composed, new_ref = reference.accumulate(
             history.reference, composed, reset=reset_history
@@ -158,6 +202,22 @@ def render_frame(ctx: traversal.TraceContext, scene: Scene, cam: Camera,
         "spec_radiance": spec,
         "gbuffer": gb,
     }
+    if cfg.use_sharc:
+        new_h["sharc"] = sharc_state
+    if cfg.use_l1_cache:
+        from nrdsample_tpu.render import l1cache
+        from nrdsample_tpu import config as cfgmod2
+
+        sun_dir = cfgmod2.sun_direction(settings)
+        composed_diff = (
+            gb["direct_lighting"] * shadow[..., None] + gb["emission"]
+            + diff * gb["diff_factor"]
+        )
+        composed_spec = spec * gb["spec_factor"]
+        new_h["l1"] = l1cache.update_history(
+            cam, composed_diff, composed_spec, gb["view_z"], gb["normal"],
+            sun_dir, h_local, w,
+        )
     return outputs, History(**new_h)
 
 

@@ -1,0 +1,111 @@
+"""Settings+camera test records — the Tests/*.bin replay system, TPU-native.
+
+Reference (SURVEY.md §4.1): a "test" is a 648-byte raw memcpy of
+`struct Settings` + camera state (NRDSample.cpp:1788), stored per scene in
+Tests/<scene>.bin, loaded by index with volatile-field reset + forced history
+reset (1870-1899), advanced with F2. Curated watch lists mark
+regression-sensitive ("checkMe") and known-weak ("improveMe") records.
+
+Here a record is JSON (versioned, diffable); `load_record` resets the same
+volatile fields; pytest parametrizes over the lists (SURVEY.md §4 implication).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+from typing import Any
+
+import jax.numpy as jnp
+import numpy as np
+
+from nrdsample_tpu.config import Settings
+from nrdsample_tpu.scene.types import Camera
+
+RECORD_VERSION = 1
+
+# Curated watch lists (NRDSample.cpp:58-79 analogue): indices into a scene's
+# record file that are regression-sensitive or known-weak.
+CHECK_ME: dict[str, list[int]] = {"cornellbox": [0], "kitchen": [0]}
+IMPROVE_ME: dict[str, dict[str, list[int]]] = {"reblur": {}, "relax": {}}
+
+
+def record_to_dict(settings: Settings, cam: Camera) -> dict:
+    return {
+        "version": RECORD_VERSION,
+        "settings": {
+            f.name: np.asarray(getattr(settings, f.name)).tolist()
+            for f in dataclasses.fields(settings)
+        },
+        "camera": {
+            "view_to_world": np.asarray(cam.view_to_world).tolist(),
+            "tan_half_fov_y": float(cam.tan_half_fov_y),
+            "aspect": float(cam.aspect),
+            "near_z": float(cam.near_z),
+            "aperture": float(cam.aperture),
+            "focal_distance": float(cam.focal_distance),
+            "ortho": float(cam.ortho),
+        },
+    }
+
+
+def dict_to_record(d: dict) -> tuple[Settings, Camera]:
+    assert d.get("version") == RECORD_VERSION, f"unknown record version {d.get('version')}"
+    s = Settings(
+        **{
+            k: (jnp.int32(v) if isinstance(v, int) else jnp.float32(v))
+            for k, v in d["settings"].items()
+        }
+    )
+    c = d["camera"]
+    v2w = jnp.asarray(np.array(c["view_to_world"], np.float32))
+    cam = Camera(
+        view_to_world=v2w,
+        view_to_world_prev=v2w,
+        tan_half_fov_y=jnp.float32(c["tan_half_fov_y"]),
+        aspect=jnp.float32(c["aspect"]),
+        near_z=jnp.float32(c["near_z"]),
+        jitter=jnp.zeros(2, jnp.float32),
+        jitter_prev=jnp.zeros(2, jnp.float32),
+        aperture=jnp.float32(c["aperture"]),
+        focal_distance=jnp.float32(c["focal_distance"]),
+        ortho=jnp.float32(c["ortho"]),
+    )
+    return s, cam
+
+
+def save_record(path: str, settings: Settings, cam: Camera, index: int | None = None):
+    """Append (or overwrite at index) a record in a per-scene JSON file —
+    the UI "Add" button (NRDSample.cpp:1911-1923)."""
+    records = []
+    if os.path.exists(path):
+        with open(path) as f:
+            records = json.load(f)
+    rec = record_to_dict(settings, cam)
+    if index is None or index >= len(records):
+        records.append(rec)
+    else:
+        records[index] = rec
+    with open(path, "w") as f:
+        json.dump(records, f, indent=1)
+    return len(records) - 1
+
+
+def load_record(path: str, index: int) -> tuple[Settings, Camera]:
+    """Load record by index with volatile-field reset (NRDSample.cpp:1885-1892:
+    debug off, jitter on, forced history reset is the caller's job)."""
+    with open(path) as f:
+        records = json.load(f)
+    settings, cam = dict_to_record(records[index])
+    settings = dataclasses.replace(
+        settings, debug=jnp.float32(0.0), separator=jnp.float32(0.0)
+    )
+    return settings, cam
+
+
+def count_records(path: str) -> int:
+    if not os.path.exists(path):
+        return 0
+    with open(path) as f:
+        return len(json.load(f))

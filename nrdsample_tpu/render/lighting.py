@@ -48,8 +48,8 @@ def sky_intensity(v: jnp.ndarray, sun_dir: jnp.ndarray, tan_angular_radius,
     """Sky radiance along v (includes sun disk). Shared.hlsli:455-474."""
     if white_furnace:
         return jnp.ones(v.shape[:-1] + (3,), v.dtype)
-    atmosphere = jnp.sqrt(1.0 - jnp.clip(v[..., 2], 0.0, 1.0))
-    scatter = jnp.power(jnp.clip(sun_dir[2], 0.0, 1.0), 1.0 / 15.0)
+    atmosphere = geo.sqrt01(1.0 - jnp.clip(v[..., 2], 0.0, 1.0))
+    scatter = geo.pow01(sun_dir[2], 1.0 / 15.0)
     scatter = 1.0 - jnp.clip(scatter, 0.8, 1.0)
     scatter_color = jnp.array([1.0, 1.0, 1.0]) * (1 - scatter) + jnp.array([1.5, 0.45, 0.0]) * scatter
     base = jnp.array([0.2, 0.4, 0.8])

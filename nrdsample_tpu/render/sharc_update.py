@@ -1,0 +1,121 @@
+"""SharcUpdate — the 1/5-resolution cache-population tracer.
+
+Reference: Shaders/SharcUpdate.cs.hlsl (250 LoC): at SHARC_DOWNSCALE=5 reduced
+resolution, trace a primary ray (+ delta chain) then up to
+SHARC_PROPAGATION_DEPTH=4 propagation bounces, calling SharcUpdateHit at every
+vertex so each cache cell accumulates the full outgoing radiance estimate from
+the remainder of the path (20-220). The PREV-frame gradient retrace (222-250)
+feeds history confidence — see render/confidence.py.
+
+Wavefront form: forward-trace recording per-vertex (position, normal, direct
+light, segment throughput), then a backward sweep composes suffix radiances and
+one batched scatter updates the hash grid.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from nrdsample_tpu import config as cfgmod
+from nrdsample_tpu.config import RenderConfig, Settings
+from nrdsample_tpu.mathlib import color, geometry as geo, rng, sampling
+from nrdsample_tpu.ops import sharc, traversal
+from nrdsample_tpu.render import gbuffer, lighting
+from nrdsample_tpu.scene import camera as cam_mod
+from nrdsample_tpu.scene.types import Camera, Scene
+
+
+def sharc_update_pass(ctx: traversal.TraceContext, scene: Scene, cam: Camera,
+                      cfg: RenderConfig, settings: Settings, frame,
+                      state: sharc.SharcState) -> sharc.SharcState:
+    """Trace the low-res update paths and scatter radiance into the cache."""
+    ds = cfg.sharc_downscale
+    sw, sh = max(cfg.width // ds, 1), max(cfg.height // ds, 1)
+    n_px = sw * sh
+    sun_dir = cfgmod.sun_direction(settings)
+    tan_sun = jnp.tan(jnp.deg2rad(settings.sun_angular_diameter * 0.5))
+    unproject = cam_mod.unproject_scale(cam, cfg.height)
+    cam_pos = cam.position
+
+    # map the low-res grid onto full-res pixels, rotating the sub-pixel offset
+    # per frame so the cache sees all positions over time (SharcUpdate's
+    # jittered downscale grid)
+    sidx = jnp.arange(n_px, dtype=jnp.int32)
+    sx = sidx % sw
+    sy = sidx // sw
+    off = rng.hash_u32(sidx, frame, 9001)
+    ox = (off[..., 0] % ds).astype(jnp.int32)
+    oy = (off[..., 1] % ds).astype(jnp.int32)
+    px = jnp.minimum(sx * ds + ox, cfg.width - 1)
+    py = jnp.minimum(sy * ds + oy, cfg.height - 1)
+    pixel_idx = py * cfg.width + px
+
+    origin, direction, _ = cam_mod.camera_rays(
+        cam, cfg.width, cfg.height, pixel_idx, frame, sample_dim=7
+    )
+
+    hit = traversal.closest_hit(ctx, origin, direction)
+    props = gbuffer.decode_hit(
+        scene, hit, origin, direction, sun_dir, tan_sun, cfg.use_white_furnace,
+        settings.emission_intensity,
+    )
+
+    verts = []
+    alive = jnp.logical_not(props["miss"])
+    for bounce in range(cfgmod.SHARC_PROPAGATION_DEPTH):
+        dim = 800_000 + 1000 * bounce
+        # direct lighting at this vertex
+        view_z = cam_mod.world_to_view_z(cam, props["x"])
+        direct = lighting.direct_sun_lighting(
+            props["n"], props["v"], props["base_color"], props["metalness"],
+            props["roughness"], sun_dir, tan_sun, cfg.use_white_furnace,
+        )
+        shadow = lighting.sun_shadow_ray(
+            ctx, props["x"], props["n_geom"], sun_dir, tan_sun, pixel_idx, frame,
+            unproject, view_z, dim=dim + 5,
+        )
+        shadow = jnp.where(settings.disable_shadows > 0, 1.0, shadow)
+        l_direct = direct * shadow[..., None] + props["lemi"]
+
+        # diffuse propagation (SHARC propagates the diffuse field)
+        rnd = rng.uniform2(pixel_idx, frame, dim + 1)
+        ray_local = sampling.cosine_ray(rnd)
+        ray = sampling.to_world(ray_local, props["n"])
+        # lambert cosine-sampled: per-segment throughput = diffuse albedo
+        seg_w = props["base_color"] * (1.0 - props["metalness"][..., None])
+
+        verts.append(
+            {
+                "x": props["x"], "n": props["n"], "l": l_direct,
+                "w": seg_w, "alive": alive,
+            }
+        )
+
+        xo = geo.offset_ray(
+            props["x"], props["n_geom"], view_z, unproject, cfgmod.PT_BOUNCE_RAY_OFFSET
+        )
+        hit = traversal.closest_hit(ctx, xo, ray)
+        props = gbuffer.decode_hit(
+            scene, hit, xo, ray, sun_dir, tan_sun, cfg.use_white_furnace,
+            settings.emission_intensity,
+        )
+        alive = alive & jnp.logical_not(props["miss"])
+
+    # tail: sky/emission seen by the last segment
+    l_tail = props["lemi"]
+
+    # backward sweep: suffix radiance at each vertex
+    l_next = l_tail
+    updates = []
+    for v in reversed(verts):
+        l_here = v["l"] + v["w"] * l_next
+        updates.append((v["x"], v["n"], l_here, v["alive"]))
+        l_next = l_here
+
+    xs = jnp.concatenate([u[0] for u in updates], axis=0)
+    ns = jnp.concatenate([u[1] for u in updates], axis=0)
+    ls = jnp.concatenate([u[2] for u in updates], axis=0)
+    ms = jnp.concatenate([u[3] for u in updates], axis=0)
+    state = sharc.update(state, xs, ns, ls, cam_pos, frame, mask=ms)
+    return sharc.resolve(state, frame)

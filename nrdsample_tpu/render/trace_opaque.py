@@ -53,25 +53,36 @@ def _burley_diffuse_term(roughness, n_dot_l, n_dot_v, v_dot_h):
 
 def generate_ray_and_update_throughput(props: dict, throughput: jnp.ndarray,
                                        is_diffuse: jnp.ndarray, pixel_idx, frame,
-                                       dim: int, trim_lobe: bool = True):
+                                       dim: int, trim_lobe: bool = True,
+                                       em_set: dict | None = None,
+                                       n_candidates: int = 1):
     """GenerateRayAndUpdateThroughput (RaytracingShared.hlsli:725-924), minus
-    hair/leaf-transmission/emissive-IS (IS added by caller via reservoir module).
+    hair/leaf-transmission. With `em_set` + n_candidates > 1 the direction comes
+    from the emissive-IS weighted reservoir (16-candidate light probing,
+    RaytracingShared.hlsli:750-839) and throughput gains its multiplier.
 
     Returns (ray_world [N,3], throughput' [N,3], shading_n' [N,3]).
     """
     n = props["n"]
     v = props["v"]
     v_local = sampling.to_local(v, n)
-    rnd = rng.uniform2(pixel_idx, frame, dim)
-
-    # diffuse candidate
-    ray_diff_local = sampling.cosine_ray(rnd)
-    # specular candidate via VNDF
     trim = cfgmod.PT_SPEC_LOBE_ENERGY if trim_lobe else 1.0
-    h_local = sampling.vndf_ggx(rnd, v_local, props["roughness"], trim)
-    ray_spec_local = geo.reflect(-v_local, h_local)
 
-    ray_local = jnp.where(is_diffuse[..., None], ray_diff_local, ray_spec_local)
+    if em_set is not None and n_candidates > 1:
+        from nrdsample_tpu.denoise.reblur import spec_magic_curve
+        from nrdsample_tpu.render import emissive_is
+
+        ray_local, mult = emissive_is.reservoir_sample_direction(
+            props, em_set, is_diffuse, pixel_idx, frame, dim + 50,
+            n_candidates, trim, spec_k_scale=spec_magic_curve(props["roughness"]),
+        )
+        throughput = throughput * mult[..., None]
+    else:
+        rnd = rng.uniform2(pixel_idx, frame, dim)
+        ray_diff_local = sampling.cosine_ray(rnd)
+        h_local = sampling.vndf_ggx(rnd, v_local, props["roughness"], trim)
+        ray_spec_local = geo.reflect(-v_local, h_local)
+        ray_local = jnp.where(is_diffuse[..., None], ray_diff_local, ray_spec_local)
 
     albedo, f0 = brdf.base_color_to_f0_albedo(props["base_color"], props["metalness"])
     n_dot_l = jnp.clip(ray_local[..., 2], 0.0, 1.0)
@@ -113,7 +124,8 @@ def generate_ray_and_update_throughput(props: dict, throughput: jnp.ndarray,
 
 def trace_paths(ctx: traversal.TraceContext, scene: Scene, cam: Camera,
                 cfg: RenderConfig, settings: Settings, frame,
-                props0: dict, pixel_idx: jnp.ndarray):
+                props0: dict, pixel_idx: jnp.ndarray, sharc_state=None,
+                l1_hist=None):
     """The TraceOpaque() path loop (TraceOpaque.cs.hlsl:95-476) for all pixels.
 
     props0: decoded primary-hit properties. Returns dict with diff/spec radiance
@@ -143,6 +155,16 @@ def trace_paths(ctx: traversal.TraceContext, scene: Scene, cam: Camera,
     px = pixel_idx % cfg.width
     py = pixel_idx // cfg.width
     checkerboard = rng.checkerboard(px, py, frame).astype(bool)
+
+    # emissive-IS light set (the merged-emissive BLAS analogue); built when the
+    # scene has emitters and IS is enabled (USE_IMPORTANCE_SAMPLING)
+    em_set = None
+    n_cand = 1
+    if cfg.use_importance_sampling and scene.has_emissive:
+        from nrdsample_tpu.render import emissive_is
+
+        em_set = emissive_is.build_emissive_set(scene, settings.emission_intensity)
+        n_cand = cfg.importance_samples
 
     path_num = cfg.rpp * (2 if cfg.tracing_mode == TracingMode.FULL else 1)
 
@@ -182,9 +204,11 @@ def trace_paths(ctx: traversal.TraceContext, scene: Scene, cam: Camera,
             if bounce == 1:
                 is_diffuse_path = is_diffuse
 
-            # ---- ray generation + throughput ----
+            # ---- ray generation + throughput (incl. emissive IS when enabled;
+            # USE_IS_FOR_ALL_BOUNCES=1 in the reference, Shared.hlsli:24) ----
             ray, throughput, shading_n = generate_ray_and_update_throughput(
-                props, throughput, is_diffuse, pixel_idx, frame, dim_base + 2
+                props, throughput, is_diffuse, pixel_idx, frame, dim_base + 2,
+                em_set=em_set, n_candidates=n_cand,
             )
 
             # throughput-threshold termination (TraceOpaque.cs.hlsl:266-267)
@@ -202,9 +226,8 @@ def trace_paths(ctx: traversal.TraceContext, scene: Scene, cam: Camera,
             )
 
             # ---- radiance at the hit (TraceOpaque.cs.hlsl:291-371) ----
-            # cascade: emissive -> [L1 reprojection / L2 SHARC when enabled] ->
-            # analytic lighting fallback. Round-1 path: emissive + analytic.
-            l_cached = props["lemi"]
+            # cascade: emissive -> L2 SHARC (footprint-gated) -> analytic
+            # lighting fallback (L1 prev-frame reprojection: render/l1cache.py)
             direct = lighting.direct_sun_lighting(
                 props["n"], props["v"], props["base_color"], props["metalness"],
                 props["roughness"], sun_dir, tan_sun, cfg.use_white_furnace,
@@ -217,12 +240,65 @@ def trace_paths(ctx: traversal.TraceContext, scene: Scene, cam: Camera,
             # NEE shadow ray is skipped then (GetLighting:675)
             shadow = jnp.where(settings.disable_shadows > 0, 1.0, shadow)
             l_hit = direct * shadow[..., None] + props["lemi"]
-            l_cached = jnp.where(props["miss"][..., None], l_cached, l_hit)
+            # Lcached starts as pure emission (Lemi; sky radiance on miss)
+            l_cached = props["lemi"]
+            cache_w = jnp.zeros((n_px,), f32)
+
+            if l1_hist is not None:
+                # L1 cache: prev-frame screen-space reprojection
+                # (TraceOpaque.cs.hlsl:295 -> GetRadianceFromPreviousFrame)
+                from nrdsample_tpu.render import l1cache
+
+                l1, w1 = l1cache.radiance_from_previous_frame(
+                    l1_hist, cam, props, pixel_idx, cfg.width, cfg.height,
+                    sun_dir, settings.prev_frame_confidence,
+                )
+                use_l1 = (w1 > 0.0) & jnp.logical_not(props["miss"])
+                l_cached = jnp.where(use_l1[..., None], l1, l_cached)
+                cache_w = jnp.where(use_l1, w1, cache_w)
+
+            if sharc_state is not None:
+                # L2 SHARC lookup with footprint gating
+                # (TraceOpaque.cs.hlsl:297-364)
+                from nrdsample_tpu.ops import sharc as sharc_mod
+
+                cam_pos = cam.position
+                lvl = sharc_mod.grid_level(props["x"], cam_pos)
+                vs = sharc_mod.voxel_size(lvl)
+                rt = jnp.where(is_diffuse, 1.0, props["roughness"])
+                lobe_tan = rt * rt / (1.0 + rt * rt)
+                footprint = props["t"] * lobe_tan * 2.0
+                footprint_norm = jnp.clip(footprint / jnp.maximum(vs, 1e-6), 0.0, 1.0)
+                gate_rnd = rng.uniform1(pixel_idx, frame, dim_base + 8)
+                gate = jnp.where(
+                    bounce == cfg.bounce_num, True, gate_rnd < footprint_norm
+                )
+                # don't override an already-confident L1 value
+                # (TraceOpaque.cs.hlsl:337)
+                l1_rnd = rng.uniform1(pixel_idx, frame, dim_base + 10)
+                gate = gate & (l1_rnd > cache_w)
+                rad, found = sharc_mod.query(
+                    sharc_state, props["x"], props["n"], cam_pos
+                )
+                use = found & gate & jnp.logical_not(props["miss"])
+                l_cached = jnp.where(use[..., None], rad, l_cached)
+                cache_w = jnp.where(use, 1.0, cache_w)
+
+            # cache miss -> analytic lighting (TraceOpaque.cs.hlsl:367-371):
+            # stochastic selection by the cascade confidence; last bounce takes
+            # the max so energy is never dropped
+            miss_rnd = rng.uniform1(pixel_idx, frame, dim_base + 9)
+            use_analytic = (miss_rnd >= cache_w) & jnp.logical_not(props["miss"])
+            repl = l_hit if bounce < cfg.bounce_num else jnp.maximum(l_cached, l_hit)
+            l_cached = jnp.where(use_analytic[..., None], repl, l_cached)
 
             contrib = l_cached * throughput * alive[..., None]
             # the primary-surface emission is written to the direct-lighting
             # G-buffer instead (TraceOpaque main), so bounce>=1 contributions only
             lsum = lsum + contrib
+            # cache hit already contains multi-bounce light: damp the remainder
+            # of the path (TraceOpaque.cs.hlsl:383)
+            throughput = throughput * (1.0 - cache_w)[..., None]
 
             # ---- NRD hit-distance accumulation (TraceOpaque.cs.hlsl:385-397) ----
             a = color.luminance(contrib)
@@ -270,9 +346,70 @@ def trace_paths(ctx: traversal.TraceContext, scene: Scene, cam: Camera,
     }
 
 
+def is_delta(props: dict) -> jnp.ndarray:
+    """IsDelta (RaytracingShared.hlsli:973-978): mirror-like surfaces that PSR
+    can walk through."""
+    dark = jnp.sum(props["base_color"] * jnp.array([0.2126, 0.7152, 0.0722]), -1) < 0.005
+    return (
+        (props["roughness"] < 0.041)
+        & ((props["metalness"] > 0.941) | dark)
+        & jnp.logical_not(props["miss"])
+    )
+
+
+def psr_walk(ctx, scene, cfg, settings, frame, pixel_idx, props, view_z, cam,
+             sun_dir, tan_sun, unproject):
+    """Primary Surface Replacement mirror walk (TraceOpaque.cs.hlsl:569-603):
+    follow up to cfg.psr_bounce_num delta (mirror) bounces; the G-buffer then
+    describes the *virtual* surface seen in the mirror, which denoisers track
+    far better than the mirror itself.
+
+    Returns (props', l_psr, psr_throughput, accumulated virtual hit distance).
+    """
+    n_px = pixel_idx.shape[0]
+    f32 = cfg.dtype
+    l_psr = jnp.zeros((n_px, 3), f32)
+    throughput = jnp.ones((n_px, 3), f32)
+    virt_dist = jnp.zeros((n_px,), f32)
+    for k in range(cfg.psr_bounce_num):
+        delta = is_delta(props)
+        # mirror reflection with Fresnel throughput
+        _, f0 = brdf.base_color_to_f0_albedo(props["base_color"], props["metalness"])
+        cos_i = jnp.abs(geo.dot3(props["v"], props["n"]))
+        f = brdf.fresnel_schlick(f0, cos_i)
+        ray = geo.reflect(-props["v"], props["n"])
+        vz = cam_mod.world_to_view_z(cam, props["x"])
+        xo = geo.offset_ray(
+            props["x"], props["n_geom"], vz, unproject, cfgmod.PT_BOUNCE_RAY_OFFSET
+        )
+        hit = traversal.closest_hit(ctx, xo, ray)
+        new_props = gbuffer.decode_hit(
+            scene, hit, xo, ray, sun_dir, tan_sun, cfg.use_white_furnace,
+            settings.emission_intensity,
+        )
+        # accumulate emission seen through the mirror chain
+        new_throughput = throughput * f
+        l_new = l_psr + new_throughput * new_props["lemi"] * jnp.logical_not(
+            new_props["miss"]
+        )[..., None]
+        # select per-lane: only delta lanes advance
+        sel = delta[..., None]
+        props = {
+            k2: jnp.where(
+                sel if new_props[k2].ndim == 2 else delta, new_props[k2], props[k2]
+            )
+            for k2 in props
+        }
+        throughput = jnp.where(sel, new_throughput, throughput)
+        l_psr = jnp.where(sel, l_new, l_psr)
+        virt_dist = jnp.where(delta, virt_dist + new_props["t"], virt_dist)
+    return props, l_psr, throughput, virt_dist
+
+
 def trace_opaque(ctx: traversal.TraceContext, scene: Scene, cam: Camera,
                  cfg: RenderConfig, settings: Settings, frame,
-                 pixel_idx: jnp.ndarray | None = None):
+                 pixel_idx: jnp.ndarray | None = None, sharc_state=None,
+                 l1_hist=None):
     """Full TraceOpaque pass: primary ray + G-buffer + indirect path loop.
 
     Mirrors TraceOpaque.cs.hlsl `main` (521-805): primary cast, G-buffer writes,
@@ -301,6 +438,16 @@ def trace_opaque(ctx: traversal.TraceContext, scene: Scene, cam: Camera,
         props, settings.roughness_override, settings.metalness_override
     )
 
+    # ---- PSR mirror walk (TraceOpaque.cs.hlsl:569-603) ----
+    l_psr = jnp.zeros((n_px, 3), cfg.dtype)
+    psr_throughput = jnp.ones((n_px, 3), cfg.dtype)
+    if cfg.psr_bounce_num > 0:
+        vz0 = cam_mod.world_to_view_z(cam, props["x"])
+        props, l_psr, psr_throughput, _virt = psr_walk(
+            ctx, scene, cfg, settings, frame, pixel_idx, props, vz0, cam,
+            sun_dir, tan_sun, unproject,
+        )
+
     view_z = jnp.where(props["miss"], cfgmod.INF, cam_mod.world_to_view_z(cam, props["x"]))
 
     # motion vectors: static geometry for now -> Xprev = X (camera motion only)
@@ -328,7 +475,10 @@ def trace_opaque(ctx: traversal.TraceContext, scene: Scene, cam: Camera,
     shadow = jnp.where(props["miss"], 1.0, shadow)
     shadow = jnp.where(settings.disable_shadows > 0, 1.0, shadow)
 
-    paths = trace_paths(ctx, scene, cam, cfg, settings, frame, props, pixel_idx)
+    paths = trace_paths(
+        ctx, scene, cam, cfg, settings, frame, props, pixel_idx, sharc_state,
+        l1_hist,
+    )
 
     return {
         "view_z": view_z,
@@ -346,6 +496,9 @@ def trace_opaque(ctx: traversal.TraceContext, scene: Scene, cam: Camera,
         "shadow_hit_dist": jnp.zeros_like(shadow),
         "miss": props["miss"],
         "primary_x": props["x"],
+        "primary_t": props["t"],
         "uv": uv,
+        "l_psr": l_psr,
+        "psr_throughput": psr_throughput,
         **paths,
     }

@@ -1,0 +1,194 @@
+"""TraceTransparent — full-rate glass pass.
+
+Reference: Shaders/TraceTransparent.cs.hlsl (243 LoC): re-cast the primary ray
+against the transparent TLAS limited by the opaque hit distance (193-198); on a
+glass hit, trace TWO delta chains — one starting as reflection, one as
+refraction — each up to PT_DELTA_BOUNCES_NUM Fresnel-driven bounces with
+Beer-Lambert absorption inside the medium (37-169), each ending with the
+radiance cascade; combine with the Fresnel split and overwrite the composed
+color (else passthrough).
+
+Wavefront form: both chains run as masked lockstep loops over all pixels.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from nrdsample_tpu import config as cfgmod
+from nrdsample_tpu.config import RenderConfig, Settings
+from nrdsample_tpu.mathlib import geometry as geo, rng
+from nrdsample_tpu.ops import traversal
+from nrdsample_tpu.render import gbuffer, lighting
+from nrdsample_tpu.scene import camera as cam_mod
+from nrdsample_tpu.scene.types import Camera, Scene
+
+GLASS_TINT = jnp.array([0.9, 0.95, 1.0])  # absorption color inside glass
+
+
+def _closest_hit_world(ctxs: traversal.SceneContexts, o, d, t_max=traversal.T_MAX):
+    """Closest hit against opaque+transparent (GEOMETRY_ALL mask)."""
+    a = traversal.closest_hit(ctxs.opaque, o, d, t_max=t_max)
+    if ctxs.transparent is None:
+        return a
+    b = traversal.closest_hit(ctxs.transparent, o, d, t_max=t_max)
+    take_b = b["t"] < a["t"]
+    return {k: jnp.where(take_b, b[k], a[k]) for k in a}
+
+
+def _fresnel_dielectric(cos_i, eta):
+    """Exact dielectric Fresnel for unpolarized light; eta = n_t / n_i."""
+    cos_i = jnp.clip(jnp.abs(cos_i), 0.0, 1.0)
+    sin2_t = (1.0 - cos_i**2) / jnp.maximum(eta**2, 1e-6)
+    tir = sin2_t > 1.0
+    cos_t = jnp.sqrt(jnp.maximum(0.0, 1.0 - sin2_t))
+    rs = (cos_i - eta * cos_t) / jnp.maximum(cos_i + eta * cos_t, 1e-9)
+    rp = (eta * cos_i - cos_t) / jnp.maximum(eta * cos_i + cos_t, 1e-9)
+    f = 0.5 * (rs * rs + rp * rp)
+    return jnp.where(tir, 1.0, jnp.clip(f, 0.0, 1.0))
+
+
+def _delta_chain(ctxs, scene, cfg: RenderConfig, settings, frame, pixel_idx,
+                 origin, direction, start_mask, start_is_reflection,
+                 glass_props, sun_dir, tan_sun, unproject, cam, sharc_state=None):
+    """One delta chain from the first glass hit. Returns (radiance, hitT)."""
+    n_px = origin.shape[0]
+    f32 = cfg.dtype
+    ior = scene.materials.ior[glass_props["mat"]]
+
+    # first event at the known glass hit
+    props = glass_props
+    inside = jnp.zeros((n_px,), bool)
+    throughput = jnp.ones((n_px, 3), f32)
+    radiance = jnp.zeros((n_px, 3), f32)
+    alive = start_mask
+    is_reflection = start_is_reflection
+
+    for bounce in range(cfg.delta_bounce_num):
+        dim = 700_000 + 1000 * bounce
+        n = props["n"]
+        v = props["v"]
+        cos_i = geo.dot3(v, n)
+        eta = jnp.where(inside, 1.0 / ior, ior)  # n_t / n_i at this interface
+        f = _fresnel_dielectric(cos_i, eta)
+
+        if bounce == 0:
+            reflect_now = is_reflection
+            w = jnp.where(reflect_now, f, 1.0 - f)
+        else:
+            # Fresnel-driven stochastic choice (TraceTransparent.cs.hlsl:50-70)
+            rnd = rng.uniform1(pixel_idx, frame, dim)
+            reflect_now = rnd < f
+            w = jnp.ones_like(f)  # probability cancels the Fresnel weight
+
+        ray_refl = geo.reflect(-v, n)
+        # refraction: incident = -v, relative index n_i/n_t = 1/eta
+        ray_refr = geo.refract(-v, n, 1.0 / jnp.maximum(eta, 1e-6))
+        tir = geo.length(ray_refr) < 0.5
+        reflect_now = reflect_now | tir
+        ray = jnp.where(reflect_now[..., None], ray_refl, geo.normalize(ray_refr))
+        throughput = throughput * w[..., None]
+
+        # crossing the interface flips the medium
+        inside = jnp.where(alive & jnp.logical_not(reflect_now),
+                           jnp.logical_not(inside), inside)
+
+        s = jnp.where(geo.dot3(ray, props["n_geom"]) >= 0, 1.0, -1.0)
+        view_z = cam_mod.world_to_view_z(cam, props["x"])
+        xo = geo.offset_ray(
+            props["x"], props["n_geom"] * s[..., None], view_z, unproject,
+            cfgmod.PT_GLASS_RAY_OFFSET,
+        )
+        hit = _closest_hit_world(ctxs, xo, ray)
+        new_props = gbuffer.decode_hit(
+            scene, hit, xo, ray, sun_dir, tan_sun, cfg.use_white_furnace,
+            settings.emission_intensity,
+        )
+
+        # Beer-Lambert absorption through the medium (TraceTransparent:81-84)
+        seg = jnp.where(new_props["miss"], 0.0, new_props["t"])
+        absorb = jnp.exp(
+            -seg[..., None] * (1.0 - GLASS_TINT) * 2.0
+        )
+        throughput = jnp.where(
+            (inside & alive)[..., None], throughput * absorb, throughput
+        )
+
+        hit_flags = new_props["flags"]
+        hit_is_glass = (hit_flags & cfgmod.FLAG_TRANSPARENT) != 0
+        hit_is_glass = hit_is_glass & jnp.logical_not(new_props["miss"])
+
+        # chain ends on a non-glass hit or miss: shade with the cascade
+        ended = alive & jnp.logical_not(hit_is_glass)
+        direct = lighting.direct_sun_lighting(
+            new_props["n"], new_props["v"], new_props["base_color"],
+            new_props["metalness"], new_props["roughness"], sun_dir, tan_sun,
+            cfg.use_white_furnace,
+        )
+        vz = cam_mod.world_to_view_z(cam, new_props["x"])
+        shadow = lighting.sun_shadow_ray(
+            ctxs.opaque, new_props["x"], new_props["n_geom"], sun_dir, tan_sun,
+            pixel_idx, frame, unproject, vz, dim=dim + 7,
+        )
+        shadow = jnp.where(settings.disable_shadows > 0, 1.0, shadow)
+        l_end = jnp.where(
+            new_props["miss"][..., None],
+            new_props["lemi"],
+            direct * shadow[..., None] + new_props["lemi"],
+        )
+        if sharc_state is not None:
+            # radiance cascade at the chain end (TraceTransparent.cs.hlsl:94-165):
+            # prefer the L2 cache (has multi-bounce light) over analytic direct
+            from nrdsample_tpu.ops import sharc as sharc_mod
+
+            rad, found = sharc_mod.query(
+                sharc_state, new_props["x"], new_props["n"], cam.position
+            )
+            use = found & jnp.logical_not(new_props["miss"])
+            l_end = jnp.where(use[..., None], rad + new_props["lemi"], l_end)
+        radiance = radiance + jnp.where(
+            ended[..., None], throughput * l_end, 0.0
+        )
+        alive = alive & hit_is_glass
+        props = new_props
+
+    return radiance
+
+
+def trace_transparent(ctxs: traversal.SceneContexts, scene: Scene, cam: Camera,
+                      cfg: RenderConfig, settings: Settings, frame,
+                      composed: jnp.ndarray, gb: dict, pixel_idx,
+                      sharc_state=None):
+    """Overlay glass on the composed image. Returns (color, glass_mask)."""
+    if ctxs.transparent is None:
+        return composed, jnp.zeros(composed.shape[:-1], bool)
+
+    sun_dir = cfgmod.sun_direction(settings)
+    tan_sun = jnp.tan(jnp.deg2rad(settings.sun_angular_diameter * 0.5))
+    unproject = cam_mod.unproject_scale(cam, cfg.height)
+
+    origin, direction, _ = cam_mod.camera_rays(
+        cam, cfg.width, cfg.height, pixel_idx, frame
+    )
+    t_opaque = gb["primary_t"]
+    hit = traversal.closest_hit(ctxs.transparent, origin, direction, t_max=t_opaque)
+    glass = hit["tri"] >= 0
+    props = gbuffer.decode_hit(
+        scene, hit, origin, direction, sun_dir, tan_sun, cfg.use_white_furnace,
+        settings.emission_intensity,
+    )
+
+    refl = _delta_chain(
+        ctxs, scene, cfg, settings, frame, pixel_idx, origin, direction,
+        glass, jnp.ones_like(glass), props, sun_dir, tan_sun, unproject, cam,
+        sharc_state,
+    )
+    refr = _delta_chain(
+        ctxs, scene, cfg, settings, frame, pixel_idx, origin, direction,
+        glass, jnp.zeros_like(glass), props, sun_dir, tan_sun, unproject, cam,
+        sharc_state,
+    )
+    glass_color = refl + refr
+    out = jnp.where(glass[..., None], glass_color, composed)
+    return out, glass

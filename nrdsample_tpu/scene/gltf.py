@@ -1,0 +1,237 @@
+"""glTF 2.0 loader -> flat scene arrays.
+
+Replaces NRIFramework's `utils::Scene` cgltf-based loader (used by LoadScene,
+NRDSample.cpp:2197-2241). Pure-python parse of .gltf (JSON + .bin) and .glb
+(binary container); supports the subset the reference scenes need: indexed
+triangle meshes, node hierarchy with TRS/matrix transforms, POSITION / NORMAL /
+TEXCOORD_0 attributes, pbrMetallicRoughness materials with emissive factors,
+KHR_materials_transmission / alphaMode BLEND mapped to FLAG_TRANSPARENT.
+
+World-space pre-transform: like the reference's merged static BLAS
+(NRDSample.cpp:2475-2524), static geometry is baked into world space at load.
+"""
+
+from __future__ import annotations
+
+import base64
+import json
+import os
+import struct
+
+import numpy as np
+
+from nrdsample_tpu import config
+from nrdsample_tpu.scene.types import Materials, Scene, build_triangle_soa, make_scene
+
+_COMPONENT_DTYPES = {
+    5120: np.int8, 5121: np.uint8, 5122: np.int16,
+    5123: np.uint16, 5125: np.uint32, 5126: np.float32,
+}
+_TYPE_COUNTS = {"SCALAR": 1, "VEC2": 2, "VEC3": 3, "VEC4": 4, "MAT4": 16}
+
+
+def _load_buffers(doc: dict, base_dir: str, glb_bin: bytes | None):
+    out = []
+    for buf in doc.get("buffers", []):
+        uri = buf.get("uri")
+        if uri is None:
+            out.append(glb_bin)
+        elif uri.startswith("data:"):
+            out.append(base64.b64decode(uri.split(",", 1)[1]))
+        else:
+            with open(os.path.join(base_dir, uri), "rb") as f:
+                out.append(f.read())
+    return out
+
+
+def _read_accessor(doc: dict, buffers, idx: int) -> np.ndarray:
+    acc = doc["accessors"][idx]
+    view = doc["bufferViews"][acc["bufferView"]]
+    dtype = _COMPONENT_DTYPES[acc["componentType"]]
+    ncomp = _TYPE_COUNTS[acc["type"]]
+    count = acc["count"]
+    buf = buffers[view["buffer"]]
+    offset = view.get("byteOffset", 0) + acc.get("byteOffset", 0)
+    stride = view.get("byteStride") or (np.dtype(dtype).itemsize * ncomp)
+    itemsize = np.dtype(dtype).itemsize * ncomp
+    if stride == itemsize:
+        arr = np.frombuffer(buf, dtype=dtype, count=count * ncomp, offset=offset)
+        arr = arr.reshape(count, ncomp)
+    else:
+        raw = np.frombuffer(buf, dtype=np.uint8)
+        rows = np.stack(
+            [
+                np.frombuffer(
+                    raw[offset + i * stride : offset + i * stride + itemsize].tobytes(),
+                    dtype=dtype,
+                )
+                for i in range(count)
+            ]
+        )
+        arr = rows.reshape(count, ncomp)
+    return np.ascontiguousarray(arr)
+
+
+def _node_matrix(node: dict) -> np.ndarray:
+    if "matrix" in node:
+        return np.array(node["matrix"], np.float32).reshape(4, 4).T
+    m = np.eye(4, dtype=np.float32)
+    t = node.get("translation", [0, 0, 0])
+    r = node.get("rotation", [0, 0, 0, 1])  # xyzw quaternion
+    s = node.get("scale", [1, 1, 1])
+    x, y, z, w = r
+    rot = np.array(
+        [
+            [1 - 2 * (y * y + z * z), 2 * (x * y - z * w), 2 * (x * z + y * w)],
+            [2 * (x * y + z * w), 1 - 2 * (x * x + z * z), 2 * (y * z - x * w)],
+            [2 * (x * z - y * w), 2 * (y * z + x * w), 1 - 2 * (x * x + y * y)],
+        ],
+        np.float32,
+    )
+    m[:3, :3] = rot * np.array(s, np.float32)[None, :]
+    m[:3, 3] = t
+    return m
+
+
+def _parse_glb(data: bytes):
+    magic, version, _length = struct.unpack_from("<III", data, 0)
+    assert magic == 0x46546C67, "not a GLB file"
+    offset = 12
+    doc = None
+    binary = None
+    while offset < len(data):
+        clen, ctype = struct.unpack_from("<II", data, offset)
+        chunk = data[offset + 8 : offset + 8 + clen]
+        if ctype == 0x4E4F534A:  # JSON
+            doc = json.loads(chunk.decode("utf-8"))
+        elif ctype == 0x004E4942:  # BIN
+            binary = chunk
+        offset += 8 + clen
+    return doc, binary
+
+
+def load_gltf(path: str, max_emissive: int = 256) -> Scene:
+    """Load a .gltf/.glb file into a Scene (world-space flattened)."""
+    base_dir = os.path.dirname(os.path.abspath(path))
+    if path.endswith(".glb"):
+        with open(path, "rb") as f:
+            doc, glb_bin = _parse_glb(f.read())
+    else:
+        with open(path) as f:
+            doc = json.load(f)
+        glb_bin = None
+    buffers = _load_buffers(doc, base_dir, glb_bin)
+
+    # materials
+    mats = doc.get("materials", [{}])
+    base_color, metalness, roughness, emission, ior, flags = [], [], [], [], [], []
+    for m in mats or [{}]:
+        pbr = m.get("pbrMetallicRoughness", {})
+        bc = pbr.get("baseColorFactor", [1, 1, 1, 1])
+        base_color.append(bc[:3])
+        metalness.append(pbr.get("metallicFactor", 1.0))
+        roughness.append(pbr.get("roughnessFactor", 1.0))
+        em = m.get("emissiveFactor", [0, 0, 0])
+        strength = (
+            m.get("extensions", {})
+            .get("KHR_materials_emissive_strength", {})
+            .get("emissiveStrength", 1.0)
+        )
+        emission.append([c * strength for c in em])
+        ior.append(
+            m.get("extensions", {}).get("KHR_materials_ior", {}).get("ior", 1.5)
+        )
+        transmissive = (
+            "KHR_materials_transmission" in m.get("extensions", {})
+            or m.get("alphaMode") == "BLEND"
+        )
+        flags.append(
+            config.FLAG_TRANSPARENT if transmissive else config.FLAG_NON_TRANSPARENT
+        )
+    if not mats:
+        base_color, metalness, roughness = [[0.8, 0.8, 0.8]], [0.0], [0.9]
+        emission, ior, flags = [[0, 0, 0]], [1.5], [config.FLAG_NON_TRANSPARENT]
+
+    # walk node hierarchy to gather world-transformed primitives
+    all_v, all_n, all_uv, all_i, all_m = [], [], [], [], []
+    voffset = 0
+
+    def visit(node_idx: int, parent: np.ndarray):
+        nonlocal voffset
+        node = doc["nodes"][node_idx]
+        world = parent @ _node_matrix(node)
+        if "mesh" in node:
+            mesh = doc["meshes"][node["mesh"]]
+            for prim in mesh["primitives"]:
+                if prim.get("mode", 4) != 4:  # TRIANGLES only
+                    continue
+                attrs = prim["attributes"]
+                pos = _read_accessor(doc, buffers, attrs["POSITION"]).astype(np.float32)
+                pos_w = pos @ world[:3, :3].T + world[:3, 3]
+                if "NORMAL" in attrs:
+                    nrm = _read_accessor(doc, buffers, attrs["NORMAL"]).astype(np.float32)
+                    # normal matrix: inverse-transpose of the upper 3x3
+                    nmat = np.linalg.inv(world[:3, :3]).T
+                    nrm_w = nrm @ nmat.T
+                    nrm_w /= np.maximum(
+                        np.linalg.norm(nrm_w, axis=-1, keepdims=True), 1e-20
+                    )
+                else:
+                    nrm_w = None
+                uv = (
+                    _read_accessor(doc, buffers, attrs["TEXCOORD_0"]).astype(np.float32)
+                    if "TEXCOORD_0" in attrs
+                    else np.zeros((len(pos), 2), np.float32)
+                )
+                if "indices" in prim:
+                    idx = _read_accessor(doc, buffers, prim["indices"]).reshape(-1)
+                else:
+                    idx = np.arange(len(pos), dtype=np.uint32)
+                idx = idx.astype(np.int64).reshape(-1, 3)
+                mat_id = prim.get("material", 0)
+                all_v.append(pos_w)
+                all_n.append(
+                    nrm_w if nrm_w is not None else _flat_normals(pos_w, idx)
+                )
+                all_uv.append(uv)
+                all_i.append(idx + voffset)
+                all_m.append(np.full(len(idx), mat_id, np.int32))
+                voffset += len(pos)
+        for child in node.get("children", []):
+            visit(child, world)
+
+    scene_idx = doc.get("scene", 0)
+    roots = doc["scenes"][scene_idx]["nodes"]
+    for r in roots:
+        visit(r, np.eye(4, dtype=np.float32))
+
+    verts = np.concatenate(all_v)
+    normals = np.concatenate(all_n)
+    uvs = np.concatenate(all_uv)
+    indices = np.concatenate(all_i).astype(np.int32)
+    tri_mat = np.concatenate(all_m)
+
+    import jax.numpy as jnp
+
+    tris = build_triangle_soa(verts, indices, normals, uvs, tri_mat)
+    materials = Materials(
+        base_color=jnp.asarray(np.array(base_color, np.float32)),
+        metalness=jnp.asarray(np.array(metalness, np.float32)),
+        roughness=jnp.asarray(np.array(roughness, np.float32)),
+        emission=jnp.asarray(np.array(emission, np.float32)),
+        ior=jnp.asarray(np.array(ior, np.float32)),
+        flags=jnp.asarray(np.array(flags, np.int32)),
+    )
+    return make_scene(tris, materials, max_emissive=max_emissive)
+
+
+def _flat_normals(verts: np.ndarray, idx: np.ndarray) -> np.ndarray:
+    n = np.zeros_like(verts)
+    fn = np.cross(
+        verts[idx[:, 1]] - verts[idx[:, 0]], verts[idx[:, 2]] - verts[idx[:, 0]]
+    )
+    for k in range(3):
+        np.add.at(n, idx[:, k], fn)
+    return (n / np.maximum(np.linalg.norm(n, axis=-1, keepdims=True), 1e-20)).astype(
+        np.float32
+    )

@@ -194,6 +194,44 @@ def cornell_box(furnace: bool = False, light_intensity: float = 17.0) -> Scene:
     return _assemble(parts, materials, max_emissive=8)
 
 
+def cornell_box_glass(light_intensity: float = 17.0) -> Scene:
+    """CornellBox variant with a glass sphere (TraceTransparent coverage —
+    BASELINE config 4's multi-bounce glass exercised on a small scene)."""
+    base = cornell_box(light_intensity=light_intensity)
+    sv, si, sn = make_sphere([0.45, -0.4, 1.25], 0.38, 18, 26)
+    white = [0.73, 0.735, 0.729]
+    materials = {
+        "base_color": [white, [0.611, 0.056, 0.062], [0.117, 0.435, 0.115],
+                       white, [0.8, 0.8, 0.8], [1.0, 1.0, 1.0]],
+        "metalness": [0.0] * 6,
+        "roughness": [1.0, 1.0, 1.0, 1.0, 1.0, 0.0],
+        "emission": [[0, 0, 0]] * 3 + [[light_intensity] * 3] + [[0, 0, 0]] * 2,
+        "ior": [1.5] * 6,
+        "flags": [config.FLAG_NON_TRANSPARENT] * 5 + [config.FLAG_TRANSPARENT],
+    }
+    del base  # rebuilt from parts below (with the glass sphere, no short box)
+    floor = _quad([-1, -1, 0], [1, -1, 0], [1, 1, 0], [-1, 1, 0])
+    ceil = _quad([-1, -1, 2], [-1, 1, 2], [1, 1, 2], [1, -1, 2])
+    back = _quad([-1, 1, 0], [1, 1, 0], [1, 1, 2], [-1, 1, 2])
+    left = _quad([-1, -1, 0], [-1, 1, 0], [-1, 1, 2], [-1, -1, 2])
+    right = _quad([1, -1, 0], [1, -1, 2], [1, 1, 2], [1, 1, 0])
+    light = _quad([-0.24, -0.22, 1.98], [-0.24, 0.16, 1.98],
+                  [0.23, 0.16, 1.98], [0.23, -0.22, 1.98])
+    tb_v, tb_i = make_box([-0.33, 0.28, 0.6], [0.6, 0.6, 1.2])
+    tb_v = _rot_z(tb_v, 16.0, [-0.33, 0.28, 0])
+    parts = [
+        (floor[0], floor[1], None, 0),
+        (ceil[0], ceil[1], None, 0),
+        (back[0], back[1], None, 0),
+        (left[0], left[1], None, 1),
+        (right[0], right[1], None, 2),
+        (light[0], light[1], None, 3),
+        (tb_v, tb_i, None, 4),
+        (sv, si, sn, 5),
+    ]
+    return _assemble(parts, materials, max_emissive=8)
+
+
 def _rot_z(verts, deg, pivot):
     a = np.deg2rad(deg)
     c, s = np.cos(a), np.sin(a)

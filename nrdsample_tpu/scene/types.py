@@ -72,6 +72,11 @@ class Scene:
     # NRDSample.cpp:2516-2523 merged-emissive BLAS).
     emissive_tris: jnp.ndarray    # (E,) int32, -1 padded
     emissive_count: jnp.ndarray   # () int32
+    # static (hashed into the jit key): whether the scene has any emitters, so
+    # the emissive-IS reservoir is only compiled in when it can matter
+    has_emissive: bool = dataclasses.field(
+        default=False, metadata=dict(static=True)
+    )
 
     @property
     def num_tris(self) -> int:
@@ -207,4 +212,5 @@ def make_scene(tris: TriangleSoA, materials: Materials, max_emissive: int = 256)
         materials=materials,
         emissive_tris=jnp.asarray(padded),
         emissive_count=jnp.int32(count),
+        has_emissive=bool(count > 0),
     )

@@ -67,7 +67,7 @@ class TestBvhBuild:
 class TestTraversalMatchesDense:
     def test_closest_hit_parity(self, soup):
         tris = soup.tris
-        ctx = traversal.build_context(tris, force_dense=False)
+        ctx, _ = traversal.build_context(tris, mode="bvh8")
         o, d = _random_rays(512)
         dense = intersect.intersect_dense(o, d, ctx.tris.p0, ctx.tris.e1, ctx.tris.e2)
         wide = traversal.traverse_bvh8(o, d, ctx.bvh, ctx.tris.p0, ctx.tris.e1, ctx.tris.e2)
@@ -85,12 +85,53 @@ class TestTraversalMatchesDense:
 
     def test_any_hit_parity(self, soup):
         tris = soup.tris
-        ctx = traversal.build_context(tris, force_dense=False)
+        ctx, _ = traversal.build_context(tris, mode="bvh8")
         o, d = _random_rays(512, seed=7)
         t_max = jnp.full((512,), 5.0)
         dense = intersect.occluded_dense(o, d, ctx.tris.p0, ctx.tris.e1, ctx.tris.e2, t_max)
         wide = traversal.occluded_bvh8(o, d, ctx.bvh, ctx.tris.p0, ctx.tris.e1, ctx.tris.e2, t_max)
         np.testing.assert_array_equal(np.asarray(wide), np.asarray(dense))
+
+
+class TestClusterMatchesDense:
+    """ops/cluster.py (the TPU-shaped traversal) must agree with brute force."""
+
+    def test_closest_hit_parity(self, soup):
+        ctx, _ = traversal.build_context(soup.tris, mode="cluster")
+        o, d = _random_rays(512, seed=11)
+        tr = ctx.tris
+        dense = intersect.intersect_dense(o, d, tr.p0, tr.e1, tr.e2)
+        res = traversal.closest_hit(ctx, o, d)
+        np.testing.assert_allclose(
+            np.asarray(res["t"]), np.asarray(dense["t"]), rtol=1e-4, atol=1e-4
+        )
+        np.testing.assert_array_equal(
+            np.asarray(res["tri"]) >= 0, np.asarray(dense["tri"]) >= 0
+        )
+
+    def test_any_hit_parity(self, soup):
+        ctx, _ = traversal.build_context(soup.tris, mode="cluster")
+        o, d = _random_rays(512, seed=13)
+        tr = ctx.tris
+        t_max = jnp.full((512,), 5.0)
+        dense = intersect.occluded_dense(o, d, tr.p0, tr.e1, tr.e2, t_max)
+        res = traversal.any_hit(ctx, o, d, t_max)
+        np.testing.assert_array_equal(np.asarray(res), np.asarray(dense))
+
+    def test_ray_chunking(self, soup):
+        from nrdsample_tpu.ops import cluster as cl
+
+        ctx, _ = traversal.build_context(soup.tris, mode="cluster")
+        o, d = _random_rays(300, seed=17)
+        tr = ctx.tris
+        full = cl.closest_hit_clustered(ctx.clusters, tr, o, d)
+        chunked = cl.closest_hit_clustered(ctx.clusters, tr, o, d, ray_chunk=128)
+        np.testing.assert_allclose(
+            np.asarray(chunked["t"]), np.asarray(full["t"]), rtol=1e-5
+        )
+        np.testing.assert_array_equal(
+            np.asarray(chunked["tri"]), np.asarray(full["tri"])
+        )
 
 
 class TestDenseIntersect:

@@ -17,7 +17,7 @@ RES = 64  # small for CPU CI; bench uses 256
 
 def _setup(furnace=False, bounces=1, rpp=1):
     scene = procedural.cornell_box(furnace=furnace)
-    ctx = traversal.build_context(scene.tris)
+    ctx, scene = traversal.build_context(scene)
     cam = look_at(eye=[0.0, -3.2, 1.0], target=[0.0, 0.0, 1.0], fov_y_deg=39.0)
     cfg = RenderConfig(
         width=RES, height=RES, rpp=rpp, bounce_num=bounces,
@@ -82,7 +82,7 @@ class TestWhiteFurnace:
         scene = procedural.cornell_box(furnace=True)
         # furnace needs an *open* environment: use just the two boxes so rays
         # escape to the white sky
-        ctx = traversal.build_context(scene.tris)
+        ctx, scene = traversal.build_context(scene)
         cam = look_at(eye=[0.0, -3.2, 1.0], target=[0.0, 0.0, 1.0], fov_y_deg=39.0)
         cfg = RenderConfig(
             width=32, height=32, rpp=2, bounce_num=6,
