@@ -123,6 +123,10 @@ FLAG_HAIR = 0x10
 FLAG_LEAF = 0x20
 FLAG_SKIN = 0x40
 FLAG_MORPH = 0x80
+# TPU-side extension bit: material demands the any-hit alpha test
+# (the reference expresses this as a non-opaque TLAS instance flag consumed by
+# CheckNonOpaqueTriangle, RaytracingShared.hlsli:191-247)
+FLAG_ALPHA_TEST = 0x100
 GEOMETRY_ALL = FLAG_NON_TRANSPARENT | FLAG_TRANSPARENT
 
 
@@ -157,6 +161,12 @@ class RenderConfig:
     use_translucency: bool = True
     denoiser: Denoiser = Denoiser.REFERENCE
     use_taa: bool = False
+    # output-resolution chain (0 = native, no upscale): the DLSS-SR slot is a
+    # Lanczos-2 resize (post/upscale.py), NIS a contrast-adaptive sharpen
+    output_width: int = 0
+    output_height: int = 0
+    use_nis: bool = False
+    enable_post: bool = False         # tonemap + Final pass -> outputs["display"]
     dtype: Any = jnp.float32          # compute dtype for shading
     # stress tests (SURVEY.md §4.4)
     use_inf_stress_test: bool = False
@@ -194,6 +204,7 @@ class Settings:
     min_probability: jnp.ndarray = dataclasses.field(default_factory=lambda: jnp.float32(0.0))
     disable_shadows: jnp.ndarray = dataclasses.field(default_factory=lambda: jnp.int32(0))
     prev_frame_confidence: jnp.ndarray = dataclasses.field(default_factory=lambda: jnp.float32(1.0))
+    sharpness: jnp.ndarray = dataclasses.field(default_factory=lambda: jnp.float32(0.15))
 
     def to_flat(self) -> dict:
         return {f.name: getattr(self, f.name) for f in dataclasses.fields(self)}

@@ -81,14 +81,16 @@ def build_clusters(tris):
         if pad:
             padding = np.zeros((pad,) + a.shape[1:], a.dtype)
             a = np.concatenate([a, padding], axis=0)
-        return jnp.asarray(a)
+        return a
 
-    tris_p = TriangleSoA(
-        **{
-            f.name: reorder_pad(getattr(tris, f.name))
-            for f in dataclasses.fields(tris)
-        }
-    )
+    tris_np = {
+        f.name: reorder_pad(getattr(tris, f.name))
+        for f in dataclasses.fields(tris)
+    }
+    # single host->device upload per array, no eager device ops (the TPU
+    # tunnel pays a remote compile for every eager op and ~seconds per
+    # device->host readback — keep the whole build numpy until here)
+    tris_p = TriangleSoA(**{k: jnp.asarray(v) for k, v in tris_np.items()})
 
     tmin_o = tmin[order]
     tmax_o = tmax[order]
@@ -101,9 +103,9 @@ def build_clusters(tris):
     cmax = tmax_o.reshape(c, CLUSTER_SIZE, 3).max(axis=1)
     cs = ClusterSet(
         jnp.asarray(cmin), jnp.asarray(cmax),
-        p0_b=tris_p.p0.reshape(c, CLUSTER_SIZE, 3),
-        e1_b=tris_p.e1.reshape(c, CLUSTER_SIZE, 3),
-        e2_b=tris_p.e2.reshape(c, CLUSTER_SIZE, 3),
+        p0_b=jnp.asarray(tris_np["p0"].reshape(c, CLUSTER_SIZE, 3)),
+        e1_b=jnp.asarray(tris_np["e1"].reshape(c, CLUSTER_SIZE, 3)),
+        e2_b=jnp.asarray(tris_np["e2"].reshape(c, CLUSTER_SIZE, 3)),
     )
     return cs, tris_p, order
 

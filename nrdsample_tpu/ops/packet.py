@@ -68,28 +68,43 @@ PACKETS_PER_STEP = 8  # TPU block shapes need >= 8 sublanes; each grid step
                       # therefore runs 8 independent packet loops sequentially
 
 
-def _packet_kernel(order_ref, keys_ref,
+def _packet_kernel(order_hbm, keys_ref,
                    ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, tmax_ref,
                    p0x_ref, p0y_ref, p0z_ref, e1x_ref, e1y_ref, e1z_ref,
                    e2x_ref, e2y_ref, e2z_ref,
-                   t_out, u_out, v_out, tri_out, any_hit: bool):
+                   t_out, u_out, v_out, tri_out,
+                   order_smem, dma_sem, any_hit: bool):
     """One grid step = PACKETS_PER_STEP ray packets (static unroll). Tables are
     full-VMEM residents.
 
-    No explicit worklist length: sorted keys are T_MAX past the end, and the
-    block-level t-pruning condition (key_i < max(t_best)) is false there since
-    t_best <= t_max <= T_MAX — each loop self-terminates."""
-    c = order_ref.shape[1]
+    Mosaic constraints shape two details here:
+      * the per-iteration cluster id must be a *scalar* for dynamic slicing, and
+        dynamic scalar loads from VMEM need 128-alignment — so the worklist
+        order rows are DMA'd into SMEM scratch where scalar reads are free;
+      * the sorted-keys t-pruning is a vector reduction (count of keys below the
+        packet's worst t) instead of a scalar key load.
+
+    No explicit worklist length: sorted keys are T_MAX past the end and
+    t_best <= T_MAX, so the prune count never exceeds the real worklist."""
+    c = keys_ref.shape[1]
+    step = pl.program_id(0)
+    dma = pltpu.make_async_copy(
+        order_hbm.at[pl.ds(step * PACKETS_PER_STEP, PACKETS_PER_STEP), :],
+        order_smem,
+        dma_sem,
+    )
+    dma.start()
+    dma.wait()
     for p in range(PACKETS_PER_STEP):
         _one_packet(
-            p, c, order_ref, keys_ref, ox_ref, oy_ref, oz_ref, dx_ref, dy_ref,
+            p, c, order_smem, keys_ref, ox_ref, oy_ref, oz_ref, dx_ref, dy_ref,
             dz_ref, tmax_ref, p0x_ref, p0y_ref, p0z_ref, e1x_ref, e1y_ref,
             e1z_ref, e2x_ref, e2y_ref, e2z_ref, t_out, u_out, v_out, tri_out,
             any_hit,
         )
 
 
-def _one_packet(p, c, order_ref, keys_ref,
+def _one_packet(p, c, order_smem, keys_ref,
                 ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, tmax_ref,
                 p0x_ref, p0y_ref, p0z_ref, e1x_ref, e1y_ref, e1z_ref,
                 e2x_ref, e2y_ref, e2z_ref,
@@ -110,22 +125,22 @@ def _one_packet(p, c, order_ref, keys_ref,
         jnp.full(t0.shape, -1, jnp.int32),
     )
 
+    keys_row = keys_ref[p, :]
+
     def cond(state):
         i, t_best, _, _, _ = state
-        in_range = i < c
-        # block-level t-pruning: the worklist is sorted by packet-min entry
-        # distance, so once it exceeds every ray's closest hit we are done
-        key_i = keys_ref[p, jnp.minimum(i, c - 1)]
-        not_pruned = key_i < jnp.max(t_best)
+        # block-level t-pruning, vectorized: keys are sorted ascending, so
+        # keys[i] < X  <=>  i < count(keys < X)
+        prune_count = jnp.sum((keys_row < jnp.max(t_best)).astype(jnp.int32))
         if any_hit:
             # for occlusion we only need *a* hit inside t_max
             undone = jnp.any(t_best >= tmax_ref[p, :])
-            return in_range & not_pruned & undone
-        return in_range & not_pruned
+            return (i < prune_count) & undone
+        return i < prune_count
 
     def body(state):
         i, t_best, u_best, v_best, tri_best = state
-        cid = order_ref[p, i]
+        cid = order_smem[p, i]
         base = pl.ds(cid, 1)
         p0x = p0x_ref[base, :]  # (1, K)
         p0y = p0y_ref[base, :]
@@ -141,17 +156,21 @@ def _one_packet(p, c, order_ref, keys_ref,
             p0x, p0y, p0z, e1x, e1y, e1z, e2x, e2y, e2z,
         )
         t = jnp.where(hit & (t < t_best[:, None]), t, T_MAX)
-        arg = jnp.argmin(t, axis=-1)
+        # argmin + gather via iota/mask reductions (Mosaic has no general
+        # gather lowering inside kernels)
+        k = t.shape[1]
+        idxs = jax.lax.broadcasted_iota(jnp.int32, t.shape, 1)
         tmin = jnp.min(t, axis=-1)
+        is_min = t <= tmin[:, None]
+        kmin = jnp.min(jnp.where(is_min, idxs, k), axis=-1)
+        sel = idxs == kmin[:, None]
+        u_sel = jnp.sum(jnp.where(sel, u, 0.0), axis=-1)
+        v_sel = jnp.sum(jnp.where(sel, v, 0.0), axis=-1)
         closer = tmin < t_best
         t_best = jnp.where(closer, tmin, t_best)
-        u_sel = jnp.take_along_axis(u, arg[:, None], axis=-1)[:, 0]
-        v_sel = jnp.take_along_axis(v, arg[:, None], axis=-1)[:, 0]
         u_best = jnp.where(closer, u_sel, u_best)
         v_best = jnp.where(closer, v_sel, v_best)
-        tri_best = jnp.where(
-            closer, cid * CLUSTER_SIZE + arg.astype(jnp.int32), tri_best
-        )
+        tri_best = jnp.where(closer, cid * CLUSTER_SIZE + kmin, tri_best)
         return i + 1, t_best, u_best, v_best, tri_best
 
     _, t_best, u_best, v_best, tri_best = jax.lax.while_loop(cond, body, init)
@@ -209,18 +228,28 @@ def closest_hit_packet(cs: ClusterSet, origin, direction, t_max=T_MAX,
 
     nb = rp // block
     order, keys_sorted, count = _block_worklists(origin, direction, cs, tm, block)
+    # Mosaic: VMEM slices must be 128-aligned in the lane dim — pad the
+    # worklist width; padded keys are T_MAX so the prune count never reaches them
+    cpad = (-cs.count) % 128
+    if cpad:
+        order = jnp.concatenate(
+            [order, jnp.zeros((nb, cpad), jnp.int32)], axis=1
+        )
+        keys_sorted = jnp.concatenate(
+            [keys_sorted, jnp.full((nb, cpad), T_MAX, jnp.float32)], axis=1
+        )
 
     o_c = [origin[:, k].reshape(nb, block) for k in range(3)]
     d_c = [direction[:, k].reshape(nb, block) for k in range(3)]
     tmb = tm.reshape(nb, block)
     tables = packet_tables(cs)
 
-    c = cs.count
+    c = cs.count + cpad
     pps = PACKETS_PER_STEP
     row_spec = pl.BlockSpec((pps, block), lambda i: (i, 0), memory_space=pltpu.VMEM)
     wl_spec = pl.BlockSpec((pps, c), lambda i: (i, 0), memory_space=pltpu.VMEM)
     table_spec = pl.BlockSpec(
-        (c, CLUSTER_SIZE), lambda i: (0, 0), memory_space=pltpu.VMEM
+        (cs.count, CLUSTER_SIZE), lambda i: (0, 0), memory_space=pltpu.VMEM
     )
 
     kernel = functools.partial(_packet_kernel, any_hit=False)
@@ -234,13 +263,17 @@ def closest_hit_packet(cs: ClusterSet, origin, direction, t_max=T_MAX,
         kernel,
         grid=(nb // pps,),
         in_specs=[
-            wl_spec,   # order
+            pl.BlockSpec(memory_space=pltpu.ANY),   # order: HBM, DMA'd to SMEM
             wl_spec,   # keys
             *([row_spec] * 7),   # ox..dz, tmax
             *([table_spec] * 9),
         ],
         out_specs=[row_spec] * 4,
         out_shape=out_shape,
+        scratch_shapes=[
+            pltpu.SMEM((pps, c), jnp.int32),
+            pltpu.SemaphoreType.DMA,
+        ],
         interpret=interpret,
     )(order, keys_sorted, *o_c, *d_c, tmb, *tables)
 

@@ -218,10 +218,19 @@ def build_context(scene, mode: str | None = None):
     if mode is None:
         mode = "dense" if n <= DENSE_CUTOFF else "cluster"
 
+    from nrdsample_tpu.scene.types import scene_to_device
+    import jax as _jax
+
     if mode == "dense":
-        ctx = TraceContext(tris, "dense")
+        if bare:
+            tris_dev = _jax.tree_util.tree_map(jnp.asarray, tris)
+            ctx = TraceContext(tris_dev, "dense")
+            ctx.order = None
+            return ctx, tris_dev
+        scene_dev = scene_to_device(scene)
+        ctx = TraceContext(scene_dev.tris, "dense")
         ctx.order = None
-        return ctx, scene
+        return ctx, scene_dev
 
     if mode == "cluster":
         from nrdsample_tpu.ops.cluster import build_clusters
@@ -239,6 +248,9 @@ def build_context(scene, mode: str | None = None):
         raise ValueError(f"unknown traversal mode {mode!r}")
     ctx.order = order
 
+    new_tris = _jax.tree_util.tree_map(jnp.asarray, new_tris)
+    ctx.tris = new_tris
+
     if bare:
         return ctx, new_tris
 
@@ -249,8 +261,8 @@ def build_context(scene, mode: str | None = None):
     inv[np.asarray(order)] = np.arange(len(order), dtype=np.int32)
     em = np.asarray(scene.emissive_tris)
     em_new = np.where(em >= 0, inv[np.clip(em, 0, len(order) - 1)], -1).astype(np.int32)
-    new_scene = dc.replace(
-        scene, tris=new_tris, emissive_tris=jnp.asarray(em_new)
+    new_scene = scene_to_device(
+        dc.replace(scene, tris=new_tris, emissive_tris=em_new)
     )
     return ctx, new_scene
 
@@ -304,7 +316,8 @@ def build_scene_contexts(scene, mode: str | None = None):
     n_opaque = int((~is_trans).sum())
 
     def gather_tris(tris, ids):
-        return jax.tree.map(lambda a: a[jnp.asarray(ids.astype(np.int32))], tris)
+        idx = ids.astype(np.int32)
+        return jax.tree.map(lambda a: np.asarray(a)[idx], tris)
 
     tris_o = gather_tris(scene.tris, order0[:n_opaque])
     tris_t = gather_tris(scene.tris, order0[n_opaque:])
@@ -340,8 +353,74 @@ def build_scene_contexts(scene, mode: str | None = None):
         em >= 0, old_to_new[np.clip(em, 0, scene.tris.count - 1)], -1
     ).astype(np.int32)
 
-    scene2 = dc.replace(scene, tris=merged, emissive_tris=jnp.asarray(em_new))
+    from nrdsample_tpu.scene.types import scene_to_device
+
+    scene2 = scene_to_device(
+        dc.replace(scene, tris=merged, emissive_tris=em_new)
+    )
     return SceneContexts(ctx_o, ctx_t), scene2
+
+
+def closest_hit_alpha(ctx: TraceContext, scene, origin, direction,
+                      t_max=T_MAX, rounds: int = 4):
+    """Closest hit with the any-hit alpha test — CheckNonOpaqueTriangle
+    semantics (RaytracingShared.hlsli:191-247): hits on FLAG_ALPHA_TEST
+    materials whose point-sampled alpha is below 0.5 are transparent and
+    traversal continues behind them.
+
+    TPU-native shape: instead of testing alpha inside the traversal inner loop
+    (divergent, needs texture fetches mid-kernel), re-trace past rejected hits
+    in up to `rounds` wavefront iterations. After round 1 only the rays that
+    hit an alpha-tested surface stay active, so convergence is fast; scenes
+    with no such materials (scene.has_alpha_test static False) skip all of it.
+    """
+    if not getattr(scene, "has_alpha_test", False) or scene.textures is None:
+        return closest_hit(ctx, origin, direction, t_max)
+
+    from nrdsample_tpu import config as cfg_mod
+    from nrdsample_tpu.scene import textures as tex_mod
+
+    tr = scene.tris
+    t_max_arr = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), origin.shape[:1])
+    res = closest_hit(ctx, origin, direction, t_max_arr)
+    offset = jnp.zeros_like(res["t"])  # accumulated skip distance per ray
+
+    for _ in range(rounds):
+        tri = jnp.maximum(res["tri"], 0)
+        mat = tr.material[tri]
+        flags = scene.materials.flags[mat]
+        needs_test = (res["tri"] >= 0) & ((flags & cfg_mod.FLAG_ALPHA_TEST) != 0)
+        u, v = res["u"], res["v"]
+        w = 1.0 - u - v
+        uv = (
+            w[..., None] * tr.uv0[tri]
+            + u[..., None] * tr.uv1[tri]
+            + v[..., None] * tr.uv2[tri]
+        )
+        alpha = tex_mod.sample_alpha(scene.textures, mat, uv)
+        reject = needs_test & (alpha < 0.5)
+        # advance rejected rays just past the rejected hit and re-trace; the
+        # whole round is skipped at runtime once no ray needs it (lax.cond)
+        new_offset = jnp.where(reject, offset + res["t"] + 1e-4, offset)
+
+        def retrace(res, new_offset=new_offset, reject=reject):
+            o2 = origin + direction * new_offset[..., None]
+            res2 = closest_hit(ctx, o2, direction, t_max_arr - new_offset)
+            return {
+                "t": jnp.where(reject, res2["t"], res["t"]),
+                "u": jnp.where(reject, res2["u"], res["u"]),
+                "v": jnp.where(reject, res2["v"], res["v"]),
+                "tri": jnp.where(reject, res2["tri"], res["tri"]),
+            }
+
+        res = jax.lax.cond(
+            jnp.any(reject), retrace, lambda r: dict(r), res
+        )
+        offset = new_offset
+
+    # report t from the ORIGINAL origin
+    res = dict(res, t=jnp.where(res["tri"] >= 0, res["t"] + offset, res["t"]))
+    return res
 
 
 def any_hit(ctx: TraceContext, origin, direction, t_max):

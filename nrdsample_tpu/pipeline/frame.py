@@ -192,9 +192,39 @@ def render_frame(ctx: traversal.TraceContext, scene: Scene, cam: Camera,
         final = flat(taa_out)
         new_h["taa"] = new_taa
 
+    # ---- output-resolution chain: SR slot -> NIS -> Final ----
+    # (NRDSample.cpp:4236-4409; post/ package; slots for DLSS-SR/RR kept as
+    # classical kernels per SURVEY.md §2.3 "Upscalers" row)
+    display = None
+    if cfg.enable_post:
+        from nrdsample_tpu import post
+
+        out_h = cfg.output_height or h_local
+        out_w = cfg.output_width or w
+        exp = settings.exposure * 1e-2
+        if cfg.use_taa and history.taa is not None:
+            tm = img(final)  # TAA output is already tonemap-range
+        else:
+            tm = post.final.tonemap_output(img(composed), exp)
+        tm = post.upscale.lanczos_resize(tm, out_h, out_w)
+        if cfg.use_nis:
+            tm = post.nis.sharpen(tm, settings.sharpness)
+        # split-screen "noisy" side = pre-denoise signals recomposed
+        # (Final.cs.hlsl:29 reads the un-denoised input chain)
+        noisy = composition.compose(
+            gb, gb["diff_radiance"], gb["spec_radiance"], gb["shadow"]
+        )
+        noisy_up = post.upscale.lanczos_resize(
+            post.final.tonemap_output(img(noisy), exp), out_h, out_w
+        )
+        display = post.final.final_pass(
+            tm, noisy=noisy_up, separator=settings.separator, frame_index=frame
+        )
+
     outputs = {
         "color": composed,
         "final": final,
+        "display": display,
         "view_z": gb["view_z"],
         "normal": gb["normal"],
         "shadow": shadow,

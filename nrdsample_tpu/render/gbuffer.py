@@ -22,7 +22,7 @@ T_MAX = traversal.T_MAX
 
 def decode_hit(scene: Scene, hit: dict, origin: jnp.ndarray, direction: jnp.ndarray,
                sun_dir: jnp.ndarray, tan_sun_radius, white_furnace: bool = False,
-               emission_scale=1.0):
+               emission_scale=1.0, cone_width=None):
     """Build geometry+material props from a traversal result.
 
     Returns a dict with:
@@ -71,6 +71,28 @@ def decode_hit(scene: Scene, hit: dict, origin: jnp.ndarray, direction: jnp.ndar
     emission = mats.emission[mat] * emission_scale
     flags = mats.flags[mat]
 
+    # material textures with ray-cone mip (GetMaterialProps' 4 bindless
+    # fetches, RaytracingShared.hlsli:424-555; LOD :154-189). Texture values
+    # MULTIPLY the material constants (glTF convention); texels are pytree
+    # leaves so gradients flow into them (differentiable texture optimization)
+    mip = jnp.zeros_like(t)
+    if scene.textures is not None:
+        from nrdsample_tpu.render import raycone
+        from nrdsample_tpu.scene import textures as tex_mod
+
+        ts = scene.textures
+        if cone_width is not None:
+            uva = raycone.uv_area(tr.uv0[tri], tr.uv1[tri], tr.uv2[tri])
+            mip = raycone.texture_mip(
+                cone_width, tr.world_area[tri], uva,
+                geo.dot3(n_geom, view), ts.base_res, max_mip=ts.n_mips - 1.0,
+            )
+        texel = tex_mod.sample(ts, mat, uv, mip)
+        base_color = base_color * texel[..., 0:3]
+        roughness = roughness * texel[..., 5]
+        metalness = metalness * texel[..., 6]
+        emission = emission * texel[..., 7:8]
+
     if white_furnace:
         base_color = jnp.ones_like(base_color)
         emission = jnp.zeros_like(emission)
@@ -95,6 +117,7 @@ def decode_hit(scene: Scene, hit: dict, origin: jnp.ndarray, direction: jnp.ndar
         "lemi": lemi,
         "flags": flags,
         "curvature": jnp.zeros_like(t),
+        "mip": mip,
     }
 
 

@@ -125,7 +125,7 @@ def generate_ray_and_update_throughput(props: dict, throughput: jnp.ndarray,
 def trace_paths(ctx: traversal.TraceContext, scene: Scene, cam: Camera,
                 cfg: RenderConfig, settings: Settings, frame,
                 props0: dict, pixel_idx: jnp.ndarray, sharc_state=None,
-                l1_hist=None):
+                l1_hist=None, cone0: dict | None = None):
     """The TraceOpaque() path loop (TraceOpaque.cs.hlsl:95-476) for all pixels.
 
     props0: decoded primary-hit properties. Returns dict with diff/spec radiance
@@ -177,6 +177,12 @@ def trace_paths(ctx: traversal.TraceContext, scene: Scene, cam: Camera,
         acc_diffuse_like_motion = jnp.zeros((n_px,), f32)
         acc_curvature = jnp.zeros((n_px,), f32)
         props = props0
+        from nrdsample_tpu.render import raycone
+
+        cone = cone0 if cone0 is not None else {
+            "width": jnp.zeros((n_px,), f32),
+            "spread": jnp.zeros((n_px,), f32),
+        }
 
         for bounce in range(1, cfg.bounce_num + 1):
             dim_base = 10_000 * (path + 1) + 100 * bounce
@@ -219,10 +225,17 @@ def trace_paths(ctx: traversal.TraceContext, scene: Scene, cam: Camera,
             xo = geo.offset_ray(
                 props["x"], props["n_geom"], view_z, unproject, cfgmod.PT_BOUNCE_RAY_OFFSET
             )
-            hit = traversal.closest_hit(ctx, xo, ray)
+            # cone: widen at the bounce surface (curvature + roughness), grow
+            # over the segment (RaytracingShared.hlsli:389-397 ray-cone mip)
+            cone = raycone.reflect(
+                cone, props.get("curvature", 0.0),
+                jnp.where(is_diffuse, 1.0, props["roughness"]),
+            )
+            hit = traversal.closest_hit_alpha(ctx, scene, xo, ray)
+            cone = raycone.propagate(cone, hit["t"])
             props = gbuffer.decode_hit(
                 scene, hit, xo, ray, sun_dir, tan_sun, cfg.use_white_furnace,
-                settings.emission_intensity,
+                settings.emission_intensity, cone_width=cone["width"],
             )
 
             # ---- radiance at the hit (TraceOpaque.cs.hlsl:291-371) ----
@@ -429,10 +442,19 @@ def trace_opaque(ctx: traversal.TraceContext, scene: Scene, cam: Camera,
     origin, direction, uv = cam_mod.camera_rays(
         cam, cfg.width, cfg.height, pixel_idx, frame
     )
-    hit = traversal.closest_hit(ctx, origin, direction)
+    # ray cone: primary spread = one pixel angle (RaytracingShared.hlsli:129-142)
+    from nrdsample_tpu.render import raycone
+
+    pixel_angle = 2.0 * cam.tan_half_fov_y / cfg.height
+    cone = {
+        "width": jnp.zeros((n_px,), cfg.dtype),
+        "spread": jnp.broadcast_to(pixel_angle.astype(cfg.dtype), (n_px,)),
+    }
+    hit = traversal.closest_hit_alpha(ctx, scene, origin, direction)
+    cone = raycone.propagate(cone, hit["t"])
     props = gbuffer.decode_hit(
         scene, hit, origin, direction, sun_dir, tan_sun, cfg.use_white_furnace,
-        settings.emission_intensity,
+        settings.emission_intensity, cone_width=cone["width"],
     )
     props = gbuffer.apply_overrides(
         props, settings.roughness_override, settings.metalness_override
@@ -477,7 +499,7 @@ def trace_opaque(ctx: traversal.TraceContext, scene: Scene, cam: Camera,
 
     paths = trace_paths(
         ctx, scene, cam, cfg, settings, frame, props, pixel_idx, sharc_state,
-        l1_hist,
+        l1_hist, cone0=cone,
     )
 
     return {

@@ -251,9 +251,10 @@ def build_bvh8(tri_p0: np.ndarray, tri_e1: np.ndarray, tri_e2: np.ndarray,
 
 
 def reorder_tris(tris, order: np.ndarray):
-    """Apply the BVH triangle permutation to a TriangleSoA pytree."""
-    idx = jnp.asarray(order.astype(np.int32))
-    return jax.tree.map(lambda a: a[idx], tris)
+    """Apply the BVH triangle permutation to a TriangleSoA pytree (host side —
+    no eager device gathers; build_context uploads the result once)."""
+    idx = order.astype(np.int32)
+    return jax.tree.map(lambda a: np.asarray(a)[idx], tris)
 
 
 def max_depth_estimate(bvh: BVH8) -> int:

@@ -215,12 +215,12 @@ def load_gltf(path: str, max_emissive: int = 256) -> Scene:
 
     tris = build_triangle_soa(verts, indices, normals, uvs, tri_mat)
     materials = Materials(
-        base_color=jnp.asarray(np.array(base_color, np.float32)),
-        metalness=jnp.asarray(np.array(metalness, np.float32)),
-        roughness=jnp.asarray(np.array(roughness, np.float32)),
-        emission=jnp.asarray(np.array(emission, np.float32)),
-        ior=jnp.asarray(np.array(ior, np.float32)),
-        flags=jnp.asarray(np.array(flags, np.int32)),
+        base_color=np.asarray(np.array(base_color, np.float32)),
+        metalness=np.asarray(np.array(metalness, np.float32)),
+        roughness=np.asarray(np.array(roughness, np.float32)),
+        emission=np.asarray(np.array(emission, np.float32)),
+        ior=np.asarray(np.array(ior, np.float32)),
+        flags=np.asarray(np.array(flags, np.int32)),
     )
     return make_scene(tris, materials, max_emissive=max_emissive)
 

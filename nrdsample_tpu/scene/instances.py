@@ -1,0 +1,143 @@
+"""Instanced dynamic scenes — the TLAS-rebuild / animated-instance analogue.
+
+Reference per-frame dynamics (SURVEY.md §2.1): `GatherInstanceData`
+(NRDSample.cpp:3395-3630) rebuilds the TLAS instance array every frame from
+animated transforms, `CmdBuildTopLevelAccelerationStructures` refits the TLAS
+(NRDSample.cpp:3907-3944), and motion vectors come from each instance's
+``worldToWorldPrev`` (static vs dynamic matrix overload, 3395-3630).
+
+TPU-native design: instance-local triangle geometry is flattened ONCE at build
+(fixed cluster assignment from the rest pose); per frame a jitted transform
+pass re-computes world-space triangle SoA + cluster AABBs as dense batched
+matmuls — the "TLAS rebuild" becomes ~2 fused einsums + a reshape-min/max,
+no host round trip, fully differentiable w.r.t. transforms.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from nrdsample_tpu.scene.types import Scene, TriangleSoA
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class InstancedScene:
+    """A Scene whose triangles carry an instance id, plus rest-pose geometry.
+
+    ``scene`` holds the REST-POSE world geometry (identity transforms) already
+    reordered/padded by build_context; ``instance_id`` aligns with
+    scene.tris rows. Transforms are per-frame inputs, not state.
+    """
+
+    scene: Scene
+    instance_id: jnp.ndarray     # (T,) int32, 0 = static background
+    n_instances: int = dataclasses.field(default=1, metadata=dict(static=True))
+
+
+def assign_instance_ids(scene: Scene, tri_instance: np.ndarray, ctx) -> InstancedScene:
+    """Build an InstancedScene AFTER build_context: permute the host-side
+    per-triangle instance ids through the context's triangle order and pad."""
+    order = getattr(ctx, "order", None)
+    ids = np.asarray(tri_instance, np.int32)
+    if order is not None:
+        ids = ids[np.asarray(order)]
+    t_dev = scene.tris.count
+    if len(ids) < t_dev:  # cluster padding
+        ids = np.concatenate([ids, np.zeros(t_dev - len(ids), np.int32)])
+    return InstancedScene(
+        scene=scene,
+        instance_id=jnp.asarray(ids),
+        n_instances=int(tri_instance.max()) + 1 if len(tri_instance) else 1,
+    )
+
+
+def identity_transforms(n: int, dtype=jnp.float32) -> jnp.ndarray:
+    """(n, 3, 4) rigid transforms, identity."""
+    m = jnp.zeros((n, 3, 4), dtype)
+    return m.at[:, :3, :3].set(jnp.eye(3, dtype=dtype))
+
+
+def transform_scene(inst: InstancedScene, transforms: jnp.ndarray) -> Scene:
+    """Apply (n_instances, 3, 4) transforms; returns a Scene with world
+    triangles + (for vertex normals) rotated normals. Jit-safe, differentiable.
+
+    The per-triangle gather of its instance matrix is a (T, 3, 4) take — tiny
+    vs. the geometry itself; positions then transform as one batched einsum.
+    """
+    tr = inst.scene.tris
+    m = transforms[inst.instance_id]           # (T, 3, 4)
+    r = m[:, :, :3]                            # (T, 3, 3)
+    t = m[:, :, 3]                             # (T, 3)
+
+    def xf_point(p):
+        return jnp.einsum("tij,tj->ti", r, p) + t
+
+    def xf_vec(v):
+        return jnp.einsum("tij,tj->ti", r, v)
+
+    def xf_normal(nrm):
+        # rigid/uniform-scale assumption: rotate (full inverse-transpose not
+        # needed for the animation modes the reference uses — orbits are rigid)
+        out = jnp.einsum("tij,tj->ti", r, nrm)
+        return out / jnp.maximum(jnp.linalg.norm(out, axis=-1, keepdims=True), 1e-20)
+
+    new_tris = dataclasses.replace(
+        tr,
+        p0=xf_point(tr.p0), e1=xf_vec(tr.e1), e2=xf_vec(tr.e2),
+        n0=xf_normal(tr.n0), n1=xf_normal(tr.n1), n2=xf_normal(tr.n2),
+    )
+    return dataclasses.replace(inst.scene, tris=new_tris)
+
+
+def refit_context(ctx, world_scene: Scene):
+    """Refit the acceleration structure to moved geometry (the BLAS/TLAS refit
+    analogue, NRDSample.cpp:2727-2780 ALLOW_UPDATE path).
+
+    Cluster mode: cluster membership is frozen at the rest pose; bounds and the
+    cluster-major triangle slabs are recomputed on device. Dense mode: nothing
+    to refit. Returns a NEW context sharing everything else.
+    """
+    from nrdsample_tpu.ops import traversal as trav
+    from nrdsample_tpu.ops.cluster import CLUSTER_SIZE
+
+    tr = world_scene.tris
+    if ctx.mode == "dense":
+        new_ctx = trav.TraceContext(tr, "dense")
+        new_ctx.order = getattr(ctx, "order", None)
+        return new_ctx
+
+    if ctx.mode == "cluster":
+        cs = ctx.clusters
+        c = cs.count
+        p0b = tr.p0.reshape(c, CLUSTER_SIZE, 3)
+        e1b = tr.e1.reshape(c, CLUSTER_SIZE, 3)
+        e2b = tr.e2.reshape(c, CLUSTER_SIZE, 3)
+        p1b = p0b + e1b
+        p2b = p0b + e2b
+        # padded (degenerate) triangles are all-zero and would pollute bounds;
+        # mask them by their rest-pose degeneracy (e1 == e2 == 0)
+        degenerate = (
+            jnp.all(cs.e1_b == 0.0, axis=-1) & jnp.all(cs.e2_b == 0.0, axis=-1)
+        )[..., None]
+        big = jnp.float32(3.0e37)
+        lo = jnp.minimum(jnp.minimum(p0b, p1b), p2b)
+        hi = jnp.maximum(jnp.maximum(p0b, p1b), p2b)
+        lo = jnp.where(degenerate, big, lo)
+        hi = jnp.where(degenerate, -big, hi)
+        new_cs = dataclasses.replace(
+            cs,
+            bounds_min=jnp.min(lo, axis=1),
+            bounds_max=jnp.max(hi, axis=1),
+            p0_b=p0b, e1_b=e1b, e2_b=e2b,
+        )
+        new_ctx = trav.TraceContext(tr, "cluster", clusters=new_cs)
+        new_ctx.order = getattr(ctx, "order", None)
+        new_ctx.tri_offset = getattr(ctx, "tri_offset", 0)
+        return new_ctx
+
+    raise NotImplementedError(f"refit for mode {ctx.mode!r}")

@@ -123,12 +123,12 @@ def _assemble(parts, materials_dict, max_emissive=256):
     tris = build_triangle_soa(verts, idx, normals, None, mat)
     m = materials_dict
     mats = Materials(
-        base_color=jnp.asarray(np.array(m["base_color"], np.float32)),
-        metalness=jnp.asarray(np.array(m["metalness"], np.float32)),
-        roughness=jnp.asarray(np.array(m["roughness"], np.float32)),
-        emission=jnp.asarray(np.array(m["emission"], np.float32)),
-        ior=jnp.asarray(np.array(m.get("ior", [1.5] * len(m["metalness"])), np.float32)),
-        flags=jnp.asarray(np.array(
+        base_color=np.asarray(np.array(m["base_color"], np.float32)),
+        metalness=np.asarray(np.array(m["metalness"], np.float32)),
+        roughness=np.asarray(np.array(m["roughness"], np.float32)),
+        emission=np.asarray(np.array(m["emission"], np.float32)),
+        ior=np.asarray(np.array(m.get("ior", [1.5] * len(m["metalness"])), np.float32)),
+        flags=np.asarray(np.array(
             m.get("flags", [config.FLAG_NON_TRANSPARENT] * len(m["metalness"])), np.int32)),
     )
     return make_scene(tris, mats, max_emissive=max_emissive)
@@ -354,11 +354,11 @@ def random_soup(num_tris: int = 100_000, extent: float = 50.0, seed: int = 0) ->
     tris = build_triangle_soa(verts, idx, None, None, mat)
     m = materials
     mats = Materials(
-        base_color=jnp.asarray(np.array(m["base_color"], np.float32)),
-        metalness=jnp.asarray(np.array(m["metalness"], np.float32)),
-        roughness=jnp.asarray(np.array(m["roughness"], np.float32)),
-        emission=jnp.asarray(np.array(m["emission"], np.float32)),
-        ior=jnp.asarray(np.full(8, 1.5, np.float32)),
-        flags=jnp.asarray(np.full(8, config.FLAG_NON_TRANSPARENT, np.int32)),
+        base_color=np.asarray(np.array(m["base_color"], np.float32)),
+        metalness=np.asarray(np.array(m["metalness"], np.float32)),
+        roughness=np.asarray(np.array(m["roughness"], np.float32)),
+        emission=np.asarray(np.array(m["emission"], np.float32)),
+        ior=np.full(8, 1.5, np.float32),
+        flags=np.full(8, config.FLAG_NON_TRANSPARENT, np.int32),
     )
     return make_scene(tris, mats, max_emissive=1)

@@ -77,6 +77,14 @@ class Scene:
     has_emissive: bool = dataclasses.field(
         default=False, metadata=dict(static=True)
     )
+    # Material texture pyramids (scene/textures.py TextureSet) or None; the
+    # bindless texture array analogue (RaytracingShared.hlsli:14-16)
+    textures: object = None
+    # static: any material carries FLAG_ALPHA_TEST — compiles in the
+    # alpha-tested re-trace loop (CheckNonOpaqueTriangle semantics)
+    has_alpha_test: bool = dataclasses.field(
+        default=False, metadata=dict(static=True)
+    )
 
     @property
     def num_tris(self) -> int:
@@ -184,12 +192,17 @@ def build_triangle_soa(vertices: np.ndarray, indices: np.ndarray, normals: np.nd
     else:
         uvs = np.asarray(uvs, np.float32)
         uv0, uv1, uv2 = (uvs[indices[:, k]] for k in range(3))
+    # NOTE: stays host-side numpy — one batched upload happens at the end of
+    # build_context (scene_to_device). Eager per-array jnp conversion here cost
+    # 10s+ per readback over the TPU tunnel (downloads in make_scene).
     return TriangleSoA(
-        p0=jnp.asarray(p0), e1=jnp.asarray(e1), e2=jnp.asarray(e2),
-        n0=jnp.asarray(n0), n1=jnp.asarray(n1), n2=jnp.asarray(n2),
-        uv0=jnp.asarray(uv0), uv1=jnp.asarray(uv1), uv2=jnp.asarray(uv2),
-        material=jnp.asarray(material, jnp.int32),
-        world_area=jnp.asarray(area),
+        p0=p0, e1=e1, e2=e2,
+        n0=np.asarray(n0, np.float32), n1=np.asarray(n1, np.float32),
+        n2=np.asarray(n2, np.float32),
+        uv0=np.asarray(uv0, np.float32), uv1=np.asarray(uv1, np.float32),
+        uv2=np.asarray(uv2, np.float32),
+        material=np.asarray(material, np.int32),
+        world_area=np.asarray(area, np.float32),
     )
 
 
@@ -210,7 +223,13 @@ def make_scene(tris: TriangleSoA, materials: Materials, max_emissive: int = 256)
     return Scene(
         tris=tris,
         materials=materials,
-        emissive_tris=jnp.asarray(padded),
-        emissive_count=jnp.int32(count),
+        emissive_tris=padded,
+        emissive_count=np.int32(count),
         has_emissive=bool(count > 0),
     )
+
+
+def scene_to_device(scene: Scene) -> Scene:
+    """One batched host->device transfer of every scene leaf (the analogue of
+    UploadStaticData's single staging submit, NRDSample.cpp:3308-3393)."""
+    return jax.tree_util.tree_map(jnp.asarray, scene)

@@ -24,11 +24,11 @@ def setup():
     # FD-vs-autodiff must be evaluated away from parameter clamps (roughness is
     # clipped to [0,1], so the classic roughness=1.0 sits on a boundary where
     # central differences are asymmetric)
+    rough = np.array(scene.materials.roughness, np.float32)
+    rough[4] = 0.55
     scene = dataclasses.replace(
         scene,
-        materials=dataclasses.replace(
-            scene.materials, roughness=scene.materials.roughness.at[4].set(0.55)
-        ),
+        materials=dataclasses.replace(scene.materials, roughness=rough),
     )
     ctx, scene = traversal.build_context(scene)
     cam = look_at(eye=[0.0, -3.2, 1.0], target=[0.0, 0.0, 1.0], fov_y_deg=39.0)
