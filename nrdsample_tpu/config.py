@@ -168,9 +168,12 @@ class RenderConfig:
     use_nis: bool = False
     enable_post: bool = False         # tonemap + Final pass -> outputs["display"]
     dtype: Any = jnp.float32          # compute dtype for shading
-    # stress tests (SURVEY.md §4.4)
+    # stress tests + sanitization (SURVEY.md §4.4, Shared.hlsli:28-45)
     use_inf_stress_test: bool = False
     use_drs_stress_test: bool = False
+    use_firefly_test: bool = False        # USE_SIMULATED_FIREFLY_TEST
+    use_material_id_test: bool = False    # USE_SIMULATED_MATERIAL_ID_TEST
+    use_sanitization: bool = False        # USE_SANITIZATION + NRD_IsValidRadiance
 
     @property
     def n_pixels(self) -> int:
@@ -205,6 +208,9 @@ class Settings:
     disable_shadows: jnp.ndarray = dataclasses.field(default_factory=lambda: jnp.int32(0))
     prev_frame_confidence: jnp.ndarray = dataclasses.field(default_factory=lambda: jnp.float32(1.0))
     sharpness: jnp.ndarray = dataclasses.field(default_factory=lambda: jnp.float32(0.15))
+    # dynamic resolution scaling (gRectSize cropping, NRDSample.cpp:2104-2109);
+    # 1.0 = full resolution, the padded buffer is always (width, height)
+    resolution_scale: jnp.ndarray = dataclasses.field(default_factory=lambda: jnp.float32(1.0))
 
     def to_flat(self) -> dict:
         return {f.name: getattr(self, f.name) for f in dataclasses.fields(self)}

@@ -104,6 +104,21 @@ def render_frame(ctx: traversal.TraceContext, scene: Scene, cam: Camera,
         history.l1 if cfg.use_l1_cache else None,
     )
 
+    # ---- stress injection + sanitization (SURVEY.md §4.4; Shared.hlsli:28-45) ----
+    stress_on = (cfg.use_drs_stress_test or cfg.use_inf_stress_test
+                 or cfg.use_firefly_test or cfg.use_material_id_test)
+    if stress_on or cfg.use_sanitization:
+        from nrdsample_tpu.render import stress as stress_mod
+
+        pidx_s = (
+            pixel_idx if pixel_idx is not None
+            else jnp.arange(cfg.n_pixels, dtype=jnp.int32)
+        )
+        if stress_on:
+            gb = stress_mod.apply_stress_tests(gb, cfg, settings, pidx_s, frame)
+        if cfg.use_sanitization:
+            gb = stress_mod.sanitize_gbuffer(gb, cfg, settings, pidx_s)
+
     n_local = gb["view_z"].shape[0]
     w = cfg.width
     h_local = n_local // w
