@@ -22,10 +22,15 @@ SCENES = {}
 def _register_scenes():
     from nrdsample_tpu.scene import procedural
 
+    from nrdsample_tpu.scene import glass_shell
+
     SCENES.update(
         {
             "cornellbox": lambda: procedural.cornell_box(),
             "cornellbox-furnace": lambda: procedural.cornell_box(furnace=True),
+            "cornellbox-glass": lambda: glass_shell.add_inner_glass_surfaces(
+                procedural.cornell_box_glass()
+            ),
             "shaderballs": lambda: procedural.shader_balls(),
             "kitchen": lambda: procedural.kitchen(),
             "soup": lambda: procedural.random_soup(100_000),
@@ -36,6 +41,7 @@ def _register_scenes():
 DEFAULT_CAMERAS = {
     "cornellbox": ([0.0, -3.2, 1.0], [0.0, 0.0, 1.0], 39.0),
     "cornellbox-furnace": ([0.0, -3.2, 1.0], [0.0, 0.0, 1.0], 39.0),
+    "cornellbox-glass": ([0.0, -3.2, 1.0], [0.0, 0.0, 1.0], 39.0),
     "shaderballs": ([0.0, -9.0, 4.5], [0.0, 0.0, 0.8], 50.0),
     "kitchen": ([0.0, -1.6, 1.6], [0.0, 1.5, 1.2], 65.0),
     "soup": ([0.0, -60.0, 25.0], [0.0, 0.0, 5.0], 55.0),
@@ -56,24 +62,39 @@ def cmd_render(args) -> int:
     from nrdsample_tpu.scene.types import look_at
     from nrdsample_tpu.utils import image as image_mod
 
+    from nrdsample_tpu.config import NrdMode
+
     _register_scenes()
     scene = SCENES[args.scene]()
     eye, target, fov = DEFAULT_CAMERAS[args.scene]
-    ctx, scene = traversal.build_context(scene)
+    if args.scene.endswith("-glass"):
+        ctx, scene = traversal.build_scene_contexts(scene)
+    else:
+        ctx, scene = traversal.build_context(scene)
     cam = look_at(eye=eye, target=target, fov_y_deg=fov, aspect=args.size / args.size)
+    out_size = args.upscale or 0
     cfg = RenderConfig(
         width=args.size, height=args.size, rpp=args.rpp, bounce_num=args.bounces,
         tracing_mode=TracingMode.FULL_PROBABILISTIC,
         denoiser=Denoiser[args.denoiser.upper()],
+        nrd_mode=NrdMode[args.nrd_mode.upper().replace("-", "_")],
         use_taa=args.taa,
+        use_sharc=args.sharc,
+        psr_bounce_num=args.psr,
+        output_width=out_size, output_height=out_size,
+        use_nis=args.nis,
+        enable_post=bool(out_size or args.nis or args.separator > 0.0),
     )
     settings = Settings(
         sun_azimuth=jnp.float32(args.sun_azimuth),
         sun_elevation=jnp.float32(args.sun_elevation),
         disable_shadows=jnp.int32(1 if args.no_shadows else 0),
+        separator=jnp.float32(args.separator),
+        exposure=jnp.float32(args.exposure * 100.0),
     )
     print(
-        f"scene={args.scene} tris={scene.num_tris} dense={ctx.use_dense} "
+        f"scene={args.scene} tris={scene.num_tris} "
+        f"mode={getattr(ctx, 'mode', 'opaque+transparent')} "
         f"size={args.size} denoiser={args.denoiser}",
         file=sys.stderr,
     )
@@ -91,8 +112,13 @@ def cmd_render(args) -> int:
         file=sys.stderr,
     )
 
-    img = np.asarray(out["final"]).reshape(args.size, args.size, 3)
-    image_mod.write_png(args.out, image_mod.tonemap_for_display(img, args.exposure))
+    if cfg.enable_post and out["display"] is not None:
+        # post chain already tonemapped + sRGB'd at output resolution
+        disp = np.asarray(out["display"])
+        image_mod.write_png(args.out, (disp * 255.0 + 0.5).astype(np.uint8))
+    else:
+        img = np.asarray(out["final"]).reshape(args.size, args.size, 3)
+        image_mod.write_png(args.out, image_mod.tonemap_for_display(img, args.exposure))
     print(f"wrote {args.out}")
     return 0
 
@@ -130,6 +156,15 @@ def main(argv=None) -> int:
     r.add_argument("--sun-elevation", type=float, default=45.0)
     r.add_argument("--no-shadows", action="store_true")
     r.add_argument("--cpu", action="store_true", help="force CPU backend")
+    r.add_argument("--nrd-mode", default="normal",
+                   choices=["normal", "sh", "occlusion", "directional-occlusion"])
+    r.add_argument("--sharc", action="store_true", help="SHARC L2 radiance cache")
+    r.add_argument("--psr", type=int, default=0, help="PSR mirror-walk bounces")
+    r.add_argument("--upscale", type=int, default=0,
+                   help="output resolution (Lanczos SR slot; 0 = native)")
+    r.add_argument("--nis", action="store_true", help="NIS-style sharpen")
+    r.add_argument("--separator", type=float, default=0.0,
+                   help="split-screen noisy|denoised separator in [0,1]")
     r.set_defaults(fn=cmd_render)
 
     s = sub.add_parser("scenes", help="list scenes")

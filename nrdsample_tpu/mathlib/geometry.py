@@ -110,7 +110,13 @@ def solid_angle_to_cos(tan_angular_radius):
 
 
 def smoothstep(a, b, x):
-    t = jnp.clip((x - a) / jnp.maximum(b - a, 1e-15), 0.0, 1.0)
+    """Hermite smoothstep supporting DECREASING edges (a > b), matching
+    STL::Math::SmoothStep — e.g. SmoothStep(0.2, 0.0, x) is 1 at x=0 and
+    falls to 0 at x=0.2 (used by the NRD hit-distance accumulation,
+    TraceOpaque.cs.hlsl:390)."""
+    d = b - a
+    d = jnp.where(jnp.abs(d) < 1e-15, jnp.where(d >= 0, 1e-15, -1e-15), d)
+    t = jnp.clip((x - a) / d, 0.0, 1.0)
     return t * t * (3.0 - 2.0 * t)
 
 

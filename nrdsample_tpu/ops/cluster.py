@@ -32,7 +32,8 @@ import numpy as np
 
 from nrdsample_tpu.ops import intersect
 
-CLUSTER_SIZE = 64
+CLUSTER_SIZE = 128  # one full TPU lane row per cluster plane (packet kernel)
+SLAB_ROWS = 16      # 9 component planes + padding, 8-sublane aligned stride
 T_MAX = intersect.T_MAX
 
 
@@ -47,6 +48,11 @@ class ClusterSet:
     p0_b: jnp.ndarray         # (C, CLUSTER_SIZE, 3)
     e1_b: jnp.ndarray         # (C, CLUSTER_SIZE, 3)
     e2_b: jnp.ndarray         # (C, CLUSTER_SIZE, 3)
+    # packet-kernel slab: (C * SLAB_ROWS, CLUSTER_SIZE) f32 — per cluster a
+    # 16-row, 8-sublane-aligned block whose rows 0..8 are the component planes
+    # p0x p0y p0z e1x e1y e1z e2x e2y e2z. ONE dynamic slice fetches a whole
+    # cluster (vs 9 unaligned slices over separate tables)
+    slab: jnp.ndarray
 
     @property
     def count(self) -> int:
@@ -101,11 +107,22 @@ def build_clusters(tris):
     c = (t + pad) // CLUSTER_SIZE
     cmin = tmin_o.reshape(c, CLUSTER_SIZE, 3).min(axis=1)
     cmax = tmax_o.reshape(c, CLUSTER_SIZE, 3).max(axis=1)
+    p0_b = tris_np["p0"].reshape(c, CLUSTER_SIZE, 3)
+    e1_b = tris_np["e1"].reshape(c, CLUSTER_SIZE, 3)
+    e2_b = tris_np["e2"].reshape(c, CLUSTER_SIZE, 3)
+    slab = np.zeros((c * SLAB_ROWS, CLUSTER_SIZE), np.float32)
+    for p, plane in enumerate(
+        [p0_b[..., 0], p0_b[..., 1], p0_b[..., 2],
+         e1_b[..., 0], e1_b[..., 1], e1_b[..., 2],
+         e2_b[..., 0], e2_b[..., 1], e2_b[..., 2]]
+    ):
+        slab[p::SLAB_ROWS] = plane
     cs = ClusterSet(
         jnp.asarray(cmin), jnp.asarray(cmax),
-        p0_b=jnp.asarray(tris_np["p0"].reshape(c, CLUSTER_SIZE, 3)),
-        e1_b=jnp.asarray(tris_np["e1"].reshape(c, CLUSTER_SIZE, 3)),
-        e2_b=jnp.asarray(tris_np["e2"].reshape(c, CLUSTER_SIZE, 3)),
+        p0_b=jnp.asarray(p0_b),
+        e1_b=jnp.asarray(e1_b),
+        e2_b=jnp.asarray(e2_b),
+        slab=jnp.asarray(slab),
     )
     return cs, tris_p, order
 

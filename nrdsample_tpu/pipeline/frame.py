@@ -146,6 +146,27 @@ def render_frame(ctx: traversal.TraceContext, scene: Scene, cam: Camera,
         shadow = flat(shadow_img)
         new_h["sigma"] = new_sigma
 
+    # ---- OCCLUSION / DIRECTIONAL_OCCLUSION modes (NRD_MODE, Shared.hlsli:52-55;
+    # denoiser variants NRDSample.cpp:888-899) — the stack switches to
+    # hit-distance-only signals; the radiance planes are REPLACED by [0,1]
+    # occlusion so the stencil machinery below runs unchanged ----
+    from nrdsample_tpu.config import NrdMode
+
+    occl_mode = cfg.nrd_mode in (NrdMode.OCCLUSION, NrdMode.DIRECTIONAL_OCCLUSION)
+    if occl_mode:
+        from nrdsample_tpu.denoise import occlusion as occl
+
+        nh_d = occl.norm_hitdist(gb["diff_hitdist"], gb["view_z"])
+        nh_s = occl.norm_hitdist(gb["spec_hitdist"], gb["view_z"])
+        if cfg.nrd_mode == NrdMode.DIRECTIONAL_OCCLUSION:
+            d_occ = occl.directional_occlusion(nh_d, gb["diff_dir"], gb["normal"])
+            s_occ = occl.directional_occlusion(nh_s, gb["spec_dir"], gb["normal"])
+        else:
+            d_occ = occl.occlusion_from_hitdist(nh_d)
+            s_occ = occl.occlusion_from_hitdist(nh_s)
+        diff = jnp.repeat(d_occ[..., None], 3, axis=-1)
+        spec = jnp.repeat(s_occ[..., None], 3, axis=-1)
+
     # ---- diffuse/specular denoising (NRDSample.cpp:4086-4154) ----
     if cfg.denoiser == Denoiser.RELAX:
         s = relax.RelaxSettings(max_accumulated_frames=30)
@@ -176,7 +197,24 @@ def render_frame(ctx: traversal.TraceContext, scene: Scene, cam: Camera,
         new_h["reblur_diff"], new_h["reblur_spec"] = new_rd, new_rs
 
     # ---- composition (NRDSample.cpp:4158-4188) ----
-    composed = composition.compose(gb, diff, spec, shadow)
+    if occl_mode:
+        from nrdsample_tpu.denoise import occlusion as occl
+
+        composed = occl.compose_occlusion(gb, diff[..., 0], spec[..., 0], shadow)
+    elif cfg.nrd_mode == NrdMode.SH:
+        # SH resolve re-sharpens with the actual normal (Composition.cs.hlsl:95-123)
+        from nrdsample_tpu.denoise import sh as sh_mod
+
+        diff_res = sh_mod.resolve(
+            {"radiance": diff, "dir": gb["diff_dir"]}, gb["normal"]
+        )
+        spec_res = sh_mod.resolve(
+            {"radiance": spec, "dir": gb["spec_dir"]}, gb["normal"],
+            gb["roughness"], is_spec=True,
+        )
+        composed = composition.compose(gb, diff_res, spec_res, shadow)
+    else:
+        composed = composition.compose(gb, diff, spec, shadow)
 
     # ---- TraceTransparent glass overlay (NRDSample.cpp:4190-4211) ----
     if ctxs.transparent is not None:

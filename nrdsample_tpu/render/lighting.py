@@ -104,10 +104,11 @@ def direct_sun_lighting(n, v, base_color, metalness, roughness, sun_dir,
     return lighting * shadow_fade[..., None]
 
 
-def sun_shadow_ray(ctx: traversal.TraceContext, x, n, sun_dir, tan_angular_radius,
-                   pixel_idx, frame, unproject, view_z, dim: int = 7000):
-    """Cast one jittered sun-cone visibility ray per element (the SHADOW part of
-    GetLighting, RaytracingShared.hlsli:675-687). Returns visibility in {0,1}."""
+def sun_shadow_ray_params(x, n, sun_dir, tan_angular_radius,
+                          pixel_idx, frame, unproject, view_z, dim: int = 7000):
+    """Jittered sun-cone visibility ray (origin, direction) — the ray setup of
+    GetLighting's SHADOW part (RaytracingShared.hlsli:675-687), split out so
+    callers can BATCH shadow rays with bounce rays into one traversal launch."""
     rnd = rng.uniform2(pixel_idx, frame, dim)
     disk = sampling.cosine_ray(rnd)[..., :2] * tan_angular_radius
     bx, by = sun_basis(sun_dir)
@@ -115,5 +116,15 @@ def sun_shadow_ray(ctx: traversal.TraceContext, x, n, sun_dir, tan_angular_radiu
         bx * disk[..., 0:1] + by * disk[..., 1:2] + sun_dir
     )
     xo = geo.offset_ray(x, n, view_z, unproject, cfg.PT_SHADOW_RAY_OFFSET)
+    return xo, sdir
+
+
+def sun_shadow_ray(ctx: traversal.TraceContext, x, n, sun_dir, tan_angular_radius,
+                   pixel_idx, frame, unproject, view_z, dim: int = 7000):
+    """Cast one jittered sun-cone visibility ray per element (the SHADOW part of
+    GetLighting, RaytracingShared.hlsli:675-687). Returns visibility in {0,1}."""
+    xo, sdir = sun_shadow_ray_params(
+        x, n, sun_dir, tan_angular_radius, pixel_idx, frame, unproject, view_z, dim
+    )
     blocked = traversal.any_hit(ctx, xo, sdir, jnp.full(x.shape[:-1], traversal.T_MAX))
     return 1.0 - blocked.astype(x.dtype)

@@ -151,6 +151,8 @@ def trace_paths(ctx: traversal.TraceContext, scene: Scene, cam: Camera,
     diff_hitdist = jnp.zeros((n_px,), f32)
     spec_hitdist = jnp.zeros((n_px,), f32)
     diff_path_num = jnp.zeros((n_px,), f32)
+    diff_dir = jnp.zeros((n_px, 3), f32)
+    spec_dir = jnp.zeros((n_px, 3), f32)
 
     px = pixel_idx % cfg.width
     py = pixel_idx // cfg.width
@@ -173,6 +175,7 @@ def trace_paths(ctx: traversal.TraceContext, scene: Scene, cam: Camera,
         throughput = jnp.ones((n_px, 3), f32)
         alive = jnp.logical_not(props0["miss"])
         is_diffuse_path = jnp.zeros((n_px,), bool)
+        first_ray = jnp.zeros((n_px, 3), f32)
         acc_hitdist = jnp.zeros((n_px,), f32)
         acc_diffuse_like_motion = jnp.zeros((n_px,), f32)
         acc_curvature = jnp.zeros((n_px,), f32)
@@ -216,6 +219,9 @@ def trace_paths(ctx: traversal.TraceContext, scene: Scene, cam: Camera,
                 props, throughput, is_diffuse, pixel_idx, frame, dim_base + 2,
                 em_set=em_set, n_candidates=n_cand,
             )
+            if bounce == 1:
+                first_ray = ray  # SH / DIRECTIONAL_OCCLUSION direction guide
+                                 # (TraceOpaque.cs.hlsl:227-234)
 
             # throughput-threshold termination (TraceOpaque.cs.hlsl:266-267)
             alive = alive & (color.luminance(throughput) >= cfgmod.PT_THROUGHPUT_THRESHOLD)
@@ -231,7 +237,7 @@ def trace_paths(ctx: traversal.TraceContext, scene: Scene, cam: Camera,
                 cone, props.get("curvature", 0.0),
                 jnp.where(is_diffuse, 1.0, props["roughness"]),
             )
-            hit = traversal.closest_hit_alpha(ctx, scene, xo, ray)
+            hit = traversal.closest_hit_alpha(ctx, scene, xo, ray, coherent=False)
             cone = raycone.propagate(cone, hit["t"])
             props = gbuffer.decode_hit(
                 scene, hit, xo, ray, sun_dir, tan_sun, cfg.use_white_furnace,
@@ -341,6 +347,11 @@ def trace_paths(ctx: traversal.TraceContext, scene: Scene, cam: Camera,
         diff_hitdist = diff_hitdist + jnp.where(is_diff, acc_hitdist, 0.0)
         spec_hitdist = spec_hitdist + jnp.where(is_diff, 0.0, acc_hitdist)
         diff_path_num = diff_path_num + is_diff.astype(f32)
+        # luminance-weighted first-bounce direction (SH-mode guide,
+        # TraceOpaque.cs.hlsl:470-473)
+        wdir = color.luminance(lsum)[..., None] + 1e-6
+        diff_dir = diff_dir + jnp.where(is_diff[..., None], first_ray * wdir, 0.0)
+        spec_dir = spec_dir + jnp.where(is_diff[..., None], 0.0, first_ray * wdir)
 
     # demodulation + averaging (TraceOpaque.cs.hlsl:449-468)
     radiance_norm = 1.0 / float(cfg.rpp)
@@ -356,6 +367,8 @@ def trace_paths(ctx: traversal.TraceContext, scene: Scene, cam: Camera,
         "spec_hitdist": spec_hitdist * spec_norm,
         "diff_factor": diff_factor0,
         "spec_factor": spec_factor0,
+        "diff_dir": diff_dir * diff_norm[..., None],
+        "spec_dir": spec_dir * spec_norm[..., None],
     }
 
 

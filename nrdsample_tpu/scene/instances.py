@@ -112,11 +112,20 @@ def refit_context(ctx, world_scene: Scene):
         return new_ctx
 
     if ctx.mode == "cluster":
+        from nrdsample_tpu.ops.cluster import SLAB_ROWS
+
         cs = ctx.clusters
         c = cs.count
         p0b = tr.p0.reshape(c, CLUSTER_SIZE, 3)
         e1b = tr.e1.reshape(c, CLUSTER_SIZE, 3)
         e2b = tr.e2.reshape(c, CLUSTER_SIZE, 3)
+        slab = jnp.zeros((c * SLAB_ROWS, CLUSTER_SIZE), tr.p0.dtype)
+        for p, plane in enumerate(
+            [p0b[..., 0], p0b[..., 1], p0b[..., 2],
+             e1b[..., 0], e1b[..., 1], e1b[..., 2],
+             e2b[..., 0], e2b[..., 1], e2b[..., 2]]
+        ):
+            slab = slab.at[p::SLAB_ROWS].set(plane)
         p1b = p0b + e1b
         p2b = p0b + e2b
         # padded (degenerate) triangles are all-zero and would pollute bounds;
@@ -133,7 +142,7 @@ def refit_context(ctx, world_scene: Scene):
             cs,
             bounds_min=jnp.min(lo, axis=1),
             bounds_max=jnp.max(hi, axis=1),
-            p0_b=p0b, e1_b=e1b, e2_b=e2b,
+            p0_b=p0b, e1_b=e1b, e2_b=e2b, slab=slab,
         )
         new_ctx = trav.TraceContext(tr, "cluster", clusters=new_cs)
         new_ctx.order = getattr(ctx, "order", None)
