@@ -157,7 +157,11 @@ class RenderConfig:
     sharc_capacity: int = SHARC_CAPACITY
     sharc_downscale: int = SHARC_DOWNSCALE
     use_l1_cache: bool = False   # prev-frame screen-space irradiance reprojection
+    use_confidence: bool = False  # SHARC-probe gradient -> history confidence
+                                  # (needs use_sharc; ConfidenceBlur pipeline)
     use_white_furnace: bool = False   # USE_WHITE_FURNACE energy-conservation test
+    use_hair_sss: bool = False        # RTXCR_INTEGRATION analogue: hair BCSDF +
+                                      # SSS for FLAG_HAIR/FLAG_SKIN materials
     use_translucency: bool = True
     denoiser: Denoiser = Denoiser.REFERENCE
     use_taa: bool = False

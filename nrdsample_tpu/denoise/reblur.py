@@ -128,8 +128,9 @@ def adaptive_blur(illum, hitdist, view_z, normal, roughness, frames, frame_idx,
 
 def denoise(hist: ReblurHistory, illum, hitdist, view_z, normal, roughness, mv,
             frame_idx, unproject: float, s: ReblurSettings = ReblurSettings(),
-            is_spec: bool = False, reset=False):
-    """Full REBLUR pipeline for one signal. Returns (denoised, new_history)."""
+            is_spec: bool = False, reset=False, confidence=None):
+    """Full REBLUR pipeline for one signal. Returns (denoised, new_history).
+    confidence: optional (H, W) [0,1] history-confidence plane."""
     h, w = view_z.shape
     mv_xy = mv[..., :2]
 
@@ -146,6 +147,9 @@ def denoise(hist: ReblurHistory, illum, hitdist, view_z, normal, roughness, mv,
     )
     valid = valid * common.in_screen(mv_xy, h, w).astype(view_z.dtype)
     valid = jnp.where(reset, 0.0, valid)
+    if confidence is not None:
+        # gPrevFrameConfidence / ConfidenceBlur output: cut history on change
+        valid = valid * confidence
 
     frames = jnp.minimum(prev_frames * valid + 1.0, s.max_accumulated_frames)
     fast_frames = jnp.minimum(prev_frames * valid + 1.0, s.max_fast_accumulated_frames)

@@ -60,7 +60,7 @@ class RelaxSettings:
 
 
 def temporal_accumulate(hist: RelaxHistory, illum, view_z, normal, mv,
-                        s: RelaxSettings, reset=False):
+                        s: RelaxSettings, reset=False, confidence=None):
     """Step 1: reproject + accumulate illumination and moments."""
     h, w = view_z.shape
     mv_xy = mv[..., :2]
@@ -75,6 +75,10 @@ def temporal_accumulate(hist: RelaxHistory, illum, view_z, normal, mv,
     )
     valid = valid * common.in_screen(mv_xy, h, w).astype(view_z.dtype)
     valid = jnp.where(reset, 0.0, valid)
+    if confidence is not None:
+        # history-confidence clamp (gPrevFrameConfidence / the ConfidenceBlur
+        # output): lighting changes cut the accumulated history
+        valid = valid * confidence
 
     frames = jnp.minimum(prev_frames * valid + 1.0, s.max_accumulated_frames)
     alpha = 1.0 / frames
@@ -150,13 +154,14 @@ def atrous_iteration(illum, variance, view_z, normal, step: int, s: RelaxSetting
 
 
 def denoise(hist: RelaxHistory, illum, view_z, normal, mv,
-            s: RelaxSettings = RelaxSettings(), reset=False):
+            s: RelaxSettings = RelaxSettings(), reset=False, confidence=None):
     """Full RELAX pipeline for one signal (diffuse or specular).
 
     illum: (H, W, 3) demodulated radiance; returns (denoised, new history).
+    confidence: optional (H, W) [0,1] history-confidence plane.
     """
     acc_illum, acc_moments, frames, new_hist = temporal_accumulate(
-        hist, illum, view_z, normal, mv, s, reset
+        hist, illum, view_z, normal, mv, s, reset, confidence
     )
     variance = estimate_variance(acc_illum, acc_moments, frames)
     out = acc_illum

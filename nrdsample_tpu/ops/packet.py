@@ -67,12 +67,14 @@ def _mt_block(ox, oy, oz, dx, dy, dz, p0x, p0y, p0z, e1x, e1y, e1z, e2x, e2y, e2
 
 PACKETS_PER_STEP = 8  # TPU block shapes need >= 8 sublanes; each grid step
                       # therefore runs 8 independent packet loops sequentially
+UNROLL = 4            # independent cluster tests per loop trip (ILP; the loop
+                      # is latency-bound on the slice->intersect->reduce chain)
 
 
 def _packet_kernel(order_hbm, keys_ref,
                    ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, tmax_ref,
                    slab_ref,
-                   t_out, u_out, v_out, tri_out,
+                   t_out, tri_out,
                    order_smem, dma_sem, any_hit: bool):
     """One grid step = PACKETS_PER_STEP ray packets (static unroll). The
     triangle slab table is a full-VMEM resident.
@@ -104,14 +106,14 @@ def _packet_kernel(order_hbm, keys_ref,
     for p in range(PACKETS_PER_STEP):
         _one_packet(
             p, c, order_smem, keys_ref, ox_ref, oy_ref, oz_ref, dx_ref, dy_ref,
-            dz_ref, tmax_ref, slab_ref, t_out, u_out, v_out, tri_out,
+            dz_ref, tmax_ref, slab_ref, t_out, tri_out,
             any_hit, SLAB_ROWS,
         )
 
 
 def _one_packet(p, c, order_smem, keys_ref,
                 ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, tmax_ref,
-                slab_ref, t_out, u_out, v_out, tri_out, any_hit: bool,
+                slab_ref, t_out, tri_out, any_hit: bool,
                 slab_rows: int):
     """One packet's self-terminating traversal loop. A fused all-packets loop
     with pl.when-gated work was tried and measured SLOWER (scalar branches
@@ -128,15 +130,13 @@ def _one_packet(p, c, order_smem, keys_ref,
     init = (
         jnp.int32(0),
         t0,
-        jnp.zeros_like(t0),
-        jnp.zeros_like(t0),
         jnp.full(t0.shape, -1, jnp.int32),
     )
 
     keys_row = keys_ref[p, :]
 
     def cond(state):
-        i, t_best, _, _, _ = state
+        i, t_best, _ = state
         # block-level t-pruning, vectorized: keys are sorted ascending, so
         # keys[i] < X  <=>  i < count(keys < X)  (no scalar VMEM loads)
         prune_count = jnp.sum((keys_row < jnp.max(t_best)).astype(jnp.int32))
@@ -147,37 +147,52 @@ def _one_packet(p, c, order_smem, keys_ref,
         return i < prune_count
 
     def body(state):
-        i, t_best, u_best, v_best, tri_best = state
-        cid = order_smem[p, i]
-        blk = slab_ref[pl.ds(cid * slab_rows, slab_rows), :]  # (16, K)
-        t, u, v, hit = _mt_block(
-            ox, oy, oz, dx, dy, dz,
-            blk[0:1, :], blk[1:2, :], blk[2:3, :],
-            blk[3:4, :], blk[4:5, :], blk[5:6, :],
-            blk[6:7, :], blk[7:8, :], blk[8:9, :],
-        )
-        t = jnp.where(hit & (t < t_best[:, None]), t, T_MAX)
-        # argmin + gather via iota/mask reductions (Mosaic has no general
-        # gather lowering inside kernels)
+        # UNROLL-wide trip: several INDEPENDENT cluster tests per iteration —
+        # the loop is latency-bound (slice -> intersect -> reduce -> cond is a
+        # serial chain), so independent work per trip is the lever, not fewer
+        # ops (2-wide measured +13% primary / +27% bounce over 1-wide).
+        # Past-the-end the order row is 0-padded: re-testing cluster 0 is
+        # redundant but geometrically harmless (closest-hit keeps the min).
+        i, t_best, tri_best = state
+
+        def test(cid):
+            blk = slab_ref[pl.ds(cid * slab_rows, slab_rows), :]  # (16, K)
+            t, u, v, hit = _mt_block(
+                ox, oy, oz, dx, dy, dz,
+                blk[0:1, :], blk[1:2, :], blk[2:3, :],
+                blk[3:4, :], blk[4:5, :], blk[5:6, :],
+                blk[6:7, :], blk[7:8, :], blk[8:9, :],
+            )
+            return jnp.where(hit, t, T_MAX)
+
+        cid0 = order_smem[p, i]
+        t = test(cid0)
+        cid_plane = jnp.broadcast_to(cid0, t.shape)
+        for j in range(1, UNROLL):
+            cid_j = order_smem[p, jnp.minimum(i + j, c - 1)]
+            t_j = test(cid_j)
+            take = t_j < t
+            cid_plane = jnp.where(take, cid_j, cid_plane)
+            t = jnp.where(take, t_j, t)
+
+        t = jnp.where(t < t_best[:, None], t, T_MAX)
+        # argmin via iota/mask reductions (Mosaic has no general gather
+        # lowering inside kernels); u/v are NOT tracked in-loop — they are
+        # reconstructed outside the kernel from the winning triangle
         k = t.shape[1]
         idxs = jax.lax.broadcasted_iota(jnp.int32, t.shape, 1)
         tmin = jnp.min(t, axis=-1)
         is_min = t <= tmin[:, None]
         kmin = jnp.min(jnp.where(is_min, idxs, k), axis=-1)
         sel = idxs == kmin[:, None]
-        u_sel = jnp.sum(jnp.where(sel, u, 0.0), axis=-1)
-        v_sel = jnp.sum(jnp.where(sel, v, 0.0), axis=-1)
+        cid_win = jnp.max(jnp.where(sel, cid_plane, 0), axis=-1)
         closer = tmin < t_best
         t_best = jnp.where(closer, tmin, t_best)
-        u_best = jnp.where(closer, u_sel, u_best)
-        v_best = jnp.where(closer, v_sel, v_best)
-        tri_best = jnp.where(closer, cid * CLUSTER_SIZE + kmin, tri_best)
-        return i + 1, t_best, u_best, v_best, tri_best
+        tri_best = jnp.where(closer, cid_win * CLUSTER_SIZE + kmin, tri_best)
+        return i + UNROLL, t_best, tri_best
 
-    _, t_best, u_best, v_best, tri_best = jax.lax.while_loop(cond, body, init)
+    _, t_best, tri_best = jax.lax.while_loop(cond, body, init)
     t_out[p, :] = t_best
-    u_out[p, :] = u_best
-    v_out[p, :] = v_best
     tri_out[p, :] = tri_best
 
 
@@ -288,11 +303,9 @@ def closest_hit_packet(cs: ClusterSet, origin, direction, t_max=T_MAX,
     kernel = functools.partial(_packet_kernel, any_hit=False)
     out_shape = [
         jax.ShapeDtypeStruct((nb, block), jnp.float32),
-        jax.ShapeDtypeStruct((nb, block), jnp.float32),
-        jax.ShapeDtypeStruct((nb, block), jnp.float32),
         jax.ShapeDtypeStruct((nb, block), jnp.int32),
     ]
-    t, u, v, tri = pl.pallas_call(
+    t, tri = pl.pallas_call(
         kernel,
         grid=(nb // pps,),
         in_specs=[
@@ -301,7 +314,7 @@ def closest_hit_packet(cs: ClusterSet, origin, direction, t_max=T_MAX,
             *([row_spec] * 7),   # ox..dz, tmax
             slab_spec,
         ],
-        out_specs=[row_spec] * 4,
+        out_specs=[row_spec] * 2,
         out_shape=out_shape,
         scratch_shapes=[
             pltpu.SMEM((pps, c), jnp.int32),
@@ -310,14 +323,27 @@ def closest_hit_packet(cs: ClusterSet, origin, direction, t_max=T_MAX,
         interpret=interpret,
     )(order, keys_sorted, *o_c, *d_c, tmb, cs.slab)
 
+    t = t.reshape(-1)[:r]
+    tri = tri.reshape(-1)[:r]
+    # reconstruct u/v (and refine t) with one MT test against the winning
+    # triangle per ray — an XLA gather of 9 floats/ray, far cheaper than
+    # carrying u/v through every kernel iteration
+    from nrdsample_tpu.ops import intersect as isect
+
+    valid = tri >= 0
+    safe = jnp.maximum(tri, 0)
+    p0 = cs.p0_b.reshape(-1, 3)[safe]
+    e1 = cs.e1_b.reshape(-1, 3)[safe]
+    e2 = cs.e2_b.reshape(-1, 3)[safe]
+    o_r = origin[:r] if pad else origin
+    d_r = direction[:r] if pad else direction
+    t2, u2, v2, hit2 = isect._mt_intersect(o_r, d_r, p0, e1, e2)
     res = {
-        "t": t.reshape(-1)[:r],
-        "u": u.reshape(-1)[:r],
-        "v": v.reshape(-1)[:r],
-        "tri": tri.reshape(-1)[:r],
+        "t": jnp.where(valid, jnp.where(hit2, t2, t), T_MAX),
+        "u": jnp.where(valid, u2, 0.0),
+        "v": jnp.where(valid, v2, 0.0),
+        "tri": tri,
     }
-    # rays that found nothing keep tri = -1; clamp t to t_max semantics
-    res["t"] = jnp.where(res["tri"] >= 0, res["t"], T_MAX)
     return res
 
 

@@ -42,6 +42,7 @@ class History:
     taa: Any = None                   # taa.TaaHistory
     sharc: Any = None                 # sharc.SharcState (L2 radiance cache)
     l1: Any = None                    # l1cache.L1History (prev-frame irradiance)
+    confidence: Any = None            # confidence.ConfidenceHistory (probe lum)
 
     @staticmethod
     def create(cfg: RenderConfig) -> "History":
@@ -51,6 +52,13 @@ class History:
             from nrdsample_tpu.ops import sharc as sharc_mod
 
             kw["sharc"] = sharc_mod.SharcState.create(cfg.sharc_capacity, dt)
+            if cfg.use_confidence:
+                from nrdsample_tpu.denoise import confidence as conf_mod
+
+                ds = cfg.sharc_downscale
+                kw["confidence"] = conf_mod.ConfidenceHistory.create(
+                    max(h // ds, 1), max(w // ds, 1), dt
+                )
         if cfg.use_l1_cache:
             from nrdsample_tpu.render import l1cache
 
@@ -91,12 +99,39 @@ def render_frame(ctx: traversal.TraceContext, scene: Scene, cam: Camera,
 
     # ---- SHARC cache update + resolve (NRDSample.cpp:3965-3997) ----
     sharc_state = history.sharc
+    confidence_img = None
     if cfg.use_sharc and sharc_state is not None:
         from nrdsample_tpu.render import sharc_update
 
-        sharc_state = sharc_update.sharc_update_pass(
+        sharc_state, probes = sharc_update.sharc_update_pass(
             ctxs.opaque, scene, cam, cfg, settings, frame, sharc_state
         )
+        # ---- history confidence: probe gradient -> ConfidenceBlur x5 ->
+        # confidence plane (NRDSample.cpp:3999-4026; ConfidenceBlur.cs.hlsl) ----
+        if cfg.use_confidence and history.confidence is not None and pixel_idx is None:
+            from nrdsample_tpu.denoise import confidence as conf_mod
+
+            grad, new_conf_h = conf_mod.gradient_from_probes(
+                history.confidence, probes["radiance"]
+            )
+            grad = conf_mod.atrous_blur(grad, probes["view_z"], probes["normal"])
+            conf_lo = conf_mod.gradient_to_confidence(
+                grad, frame, relax_square=cfg.denoiser == Denoiser.RELAX
+            )
+            conf_lo = conf_lo * settings.prev_frame_confidence
+            # upsample the 1/ds probe grid to render resolution (nearest),
+            # edge-padding the remainder rows/cols
+            ds = cfg.sharc_downscale
+            up = jnp.repeat(jnp.repeat(conf_lo, ds, axis=0), ds, axis=1)
+            up = up[: cfg.height, : cfg.width]
+            pad_h = cfg.height - up.shape[0]
+            pad_w = cfg.width - up.shape[1]
+            confidence_img = jnp.pad(up, ((0, pad_h), (0, pad_w)), mode="edge")
+            new_confidence_state = new_conf_h
+        else:
+            new_confidence_state = history.confidence
+    else:
+        new_confidence_state = history.confidence
 
     gb = trace_opaque.trace_opaque(
         ctxs.opaque, scene, cam, cfg, settings, frame, pixel_idx,
@@ -134,6 +169,8 @@ def render_frame(ctx: traversal.TraceContext, scene: Scene, cam: Camera,
     shadow = gb["shadow"]
 
     new_h = {"frame_index": frame + 1}
+    if new_confidence_state is not None:
+        new_h["confidence"] = new_confidence_state
     tan_sun = jnp.tan(jnp.deg2rad(settings.sun_angular_diameter * 0.5))
 
     # ---- SIGMA shadow denoising (NRDSample.cpp:4068-4084) ----
@@ -168,15 +205,16 @@ def render_frame(ctx: traversal.TraceContext, scene: Scene, cam: Camera,
         spec = jnp.repeat(s_occ[..., None], 3, axis=-1)
 
     # ---- diffuse/specular denoising (NRDSample.cpp:4086-4154) ----
+    conf_arg = confidence_img if confidence_img is not None else None
     if cfg.denoiser == Denoiser.RELAX:
         s = relax.RelaxSettings(max_accumulated_frames=30)
         d_img, new_rd = relax.denoise(
             history.relax_diff, img(diff), img(gb["view_z"]), img(gb["normal"]),
-            img(gb["mv"]), s, reset=reset_history,
+            img(gb["mv"]), s, reset=reset_history, confidence=conf_arg,
         )
         sp_img, new_rs = relax.denoise(
             history.relax_spec, img(spec), img(gb["view_z"]), img(gb["normal"]),
-            img(gb["mv"]), s, reset=reset_history,
+            img(gb["mv"]), s, reset=reset_history, confidence=conf_arg,
         )
         diff, spec = flat(d_img), flat(sp_img)
         new_h["relax_diff"], new_h["relax_spec"] = new_rd, new_rs
@@ -186,12 +224,12 @@ def render_frame(ctx: traversal.TraceContext, scene: Scene, cam: Camera,
         d_img, new_rd = reblur.denoise(
             history.reblur_diff, img(diff), img(gb["diff_hitdist"]), img(gb["view_z"]),
             img(gb["normal"]), img(gb["roughness"]), img(gb["mv"]), frame, unproj,
-            s, is_spec=False, reset=reset_history,
+            s, is_spec=False, reset=reset_history, confidence=conf_arg,
         )
         sp_img, new_rs = reblur.denoise(
             history.reblur_spec, img(spec), img(gb["spec_hitdist"]), img(gb["view_z"]),
             img(gb["normal"]), img(gb["roughness"]), img(gb["mv"]), frame, unproj,
-            s, is_spec=True, reset=reset_history,
+            s, is_spec=True, reset=reset_history, confidence=conf_arg,
         )
         diff, spec = flat(d_img), flat(sp_img)
         new_h["reblur_diff"], new_h["reblur_spec"] = new_rd, new_rs

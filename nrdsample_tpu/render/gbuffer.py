@@ -116,7 +116,15 @@ def decode_hit(scene: Scene, hit: dict, origin: jnp.ndarray, direction: jnp.ndar
         "metalness": metalness,
         "lemi": lemi,
         "flags": flags,
-        "curvature": jnp.zeros_like(t),
+        # curvature from vertex-normal divergence across the triangle edges
+        # (RaytracingShared.hlsli:382-386): |dN|/|dX| per edge, worst edge
+        "curvature": jnp.where(
+            miss, 0.0,
+            jnp.maximum(
+                geo.length(tr.n1[tri] - tr.n0[tri]) * geo.positive_rcp(geo.length(e1)),
+                geo.length(tr.n2[tri] - tr.n0[tri]) * geo.positive_rcp(geo.length(e2)),
+            ),
+        ),
         "mip": mip,
     }
 

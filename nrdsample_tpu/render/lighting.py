@@ -70,9 +70,12 @@ def sun_basis(sun_dir: jnp.ndarray):
 
 
 def direct_sun_lighting(n, v, base_color, metalness, roughness, sun_dir,
-                        tan_angular_radius, white_furnace: bool = False):
+                        tan_angular_radius, white_furnace: bool = False,
+                        flags=None, tangent=None):
     """Unshadowed sun + pseudo-sky-IS lighting at a surface — the LIGHTING part
-    of GetLighting (RaytracingShared.hlsli:569-667), hair/SSS omitted.
+    of GetLighting (RaytracingShared.hlsli:569-667). When `flags` is given,
+    FLAG_HAIR surfaces use the far-field hair BCSDF and FLAG_SKIN surfaces the
+    SSS wrap-diffuse (the RTXCR paths at :593,635-660).
 
     Returns radiance [..., 3]; multiply by a shadow term separately.
     """
@@ -101,7 +104,29 @@ def direct_sun_lighting(n, v, base_color, metalness, roughness, sun_dir,
     cdiff = (csun * albedo) * n_dot_l[..., None] / sampling.PI
 
     lighting = cspec * cimp + cdiff * (1.0 - f)
-    return lighting * shadow_fade[..., None]
+    lighting = lighting * shadow_fade[..., None]
+
+    if flags is not None:
+        from nrdsample_tpu import config as cfgmod
+        from nrdsample_tpu.render import hair_sss
+
+        is_skin = (flags & cfgmod.FLAG_SKIN) != 0
+        if tangent is None:
+            # fiber direction fallback: any tangent of the shading normal
+            tangent, _ = geo.orthonormal_basis(n)
+        is_hair = (flags & cfgmod.FLAG_HAIR) != 0
+
+        sss = csun * albedo * hair_sss.sss_wrap_diffuse(
+            geo.dot3(n, sun_dir), base_color
+        ) / sampling.PI
+        lighting = jnp.where(is_skin[..., None], sss + cspec * cimp, lighting)
+
+        bcsdf = hair_sss.hair_bcsdf_eval(sun_dir, v, tangent, base_color, roughness)
+        hair_l = csun * bcsdf * jnp.clip(
+            geo.dot3(n, sun_dir) * 0.5 + 0.5, 0.0, 1.0
+        )[..., None]
+        lighting = jnp.where(is_hair[..., None], hair_l, lighting)
+    return lighting
 
 
 def sun_shadow_ray_params(x, n, sun_dir, tan_angular_radius,

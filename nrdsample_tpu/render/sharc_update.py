@@ -63,6 +63,8 @@ def sharc_update_pass(ctx: traversal.TraceContext, scene: Scene, cam: Camera,
 
     verts = []
     alive = jnp.logical_not(props["miss"])
+    probe_vz = cam_mod.world_to_view_z(cam, props["x"])
+    probe_n = props["n"]
     for bounce in range(cfgmod.SHARC_PROPAGATION_DEPTH):
         dim = 800_000 + 1000 * bounce
         # direct lighting at this vertex
@@ -118,4 +120,15 @@ def sharc_update_pass(ctx: traversal.TraceContext, scene: Scene, cam: Camera,
     ls = jnp.concatenate([u[2] for u in updates], axis=0)
     ms = jnp.concatenate([u[3] for u in updates], axis=0)
     state = sharc.update(state, xs, ns, ls, cam_pos, frame, mask=ms)
-    return sharc.resolve(state, frame)
+
+    # probe "small G-buffer" for the history-confidence gradient
+    # (SharcUpdate.cs.hlsl:104-107 luminance+normal+viewZ store; the gradient
+    # consumer is denoise/confidence.py): first-vertex suffix radiance +
+    # primary viewZ/normal at probe resolution
+    first_l = updates[-1][2]  # suffix radiance at the FIRST path vertex
+    probes = {
+        "radiance": first_l.reshape(sh, sw, 3),
+        "view_z": probe_vz.reshape(sh, sw),
+        "normal": probe_n.reshape(sh, sw, 3),
+    }
+    return sharc.resolve(state, frame), probes

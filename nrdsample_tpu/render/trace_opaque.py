@@ -125,11 +125,15 @@ def generate_ray_and_update_throughput(props: dict, throughput: jnp.ndarray,
 def trace_paths(ctx: traversal.TraceContext, scene: Scene, cam: Camera,
                 cfg: RenderConfig, settings: Settings, frame,
                 props0: dict, pixel_idx: jnp.ndarray, sharc_state=None,
-                l1_hist=None, cone0: dict | None = None):
+                l1_hist=None, cone0: dict | None = None,
+                primary_shadow: tuple | None = None):
     """The TraceOpaque() path loop (TraceOpaque.cs.hlsl:95-476) for all pixels.
 
     props0: decoded primary-hit properties. Returns dict with diff/spec radiance
     (demodulated), normalized hit distances, and per-path bookkeeping.
+    primary_shadow: optional (origin, direction) of the caller's primary sun
+    visibility rays — batched into the single shadow launch; the resulting
+    visibility comes back as out["primary_shadow"].
     """
     n_px = pixel_idx.shape[0]
     f32 = cfg.dtype
@@ -170,15 +174,20 @@ def trace_paths(ctx: traversal.TraceContext, scene: Scene, cam: Camera,
 
     path_num = cfg.rpp * (2 if cfg.tracing_mode == TracingMode.FULL else 1)
 
+    # Deferred-shadow scheme: shadow visibility is BINARY, so every shadow-
+    # dependent quantity is precomputed for both outcomes (contrib0/contrib1)
+    # and selected after ONE batched any-hit launch covering every bounce of
+    # every path (+ the caller's primary shadow) — (bounces*rpp + 1) traversal
+    # launches collapse into one, with better ray-binning occupancy. Exact:
+    # nothing inside the loop depends on shadow except these terms.
+    per_path = []
+
     for path in range(path_num):
-        lsum = jnp.zeros((n_px, 3), f32)
         throughput = jnp.ones((n_px, 3), f32)
         alive = jnp.logical_not(props0["miss"])
         is_diffuse_path = jnp.zeros((n_px,), bool)
         first_ray = jnp.zeros((n_px, 3), f32)
-        acc_hitdist = jnp.zeros((n_px,), f32)
-        acc_diffuse_like_motion = jnp.zeros((n_px,), f32)
-        acc_curvature = jnp.zeros((n_px,), f32)
+        records = []  # per-bounce deferred-shadow records
         props = props0
         from nrdsample_tpu.render import raycone
 
@@ -250,15 +259,17 @@ def trace_paths(ctx: traversal.TraceContext, scene: Scene, cam: Camera,
             direct = lighting.direct_sun_lighting(
                 props["n"], props["v"], props["base_color"], props["metalness"],
                 props["roughness"], sun_dir, tan_sun, cfg.use_white_furnace,
+                flags=props["flags"] if cfg.use_hair_sss else None,
             )
-            shadow = lighting.sun_shadow_ray(
-                ctx, props["x"], props["n_geom"], sun_dir, tan_sun,
-                pixel_idx, frame, unproject, view_z, dim=dim_base + 5,
+            # deferred shadow ray params (batched launch after the loop);
+            # everything downstream is computed for BOTH shadow outcomes
+            view_z_b = cam_mod.world_to_view_z(cam, props["x"])
+            sxo, sdir = lighting.sun_shadow_ray_params(
+                props["x"], props["n_geom"], sun_dir, tan_sun,
+                pixel_idx, frame, unproject, view_z_b, dim=dim_base + 5,
             )
-            # disable_shadows doubles as "IS enabled" in the reference; the sun
-            # NEE shadow ray is skipped then (GetLighting:675)
-            shadow = jnp.where(settings.disable_shadows > 0, 1.0, shadow)
-            l_hit = direct * shadow[..., None] + props["lemi"]
+            l_hit0 = props["lemi"]                      # shadow = 0
+            l_hit1 = direct + props["lemi"]             # shadow = 1
             # Lcached starts as pure emission (Lemi; sky radiance on miss)
             l_cached = props["lemi"]
             cache_w = jnp.zeros((n_px,), f32)
@@ -308,40 +319,90 @@ def trace_paths(ctx: traversal.TraceContext, scene: Scene, cam: Camera,
             # the max so energy is never dropped
             miss_rnd = rng.uniform1(pixel_idx, frame, dim_base + 9)
             use_analytic = (miss_rnd >= cache_w) & jnp.logical_not(props["miss"])
-            repl = l_hit if bounce < cfg.bounce_num else jnp.maximum(l_cached, l_hit)
-            l_cached = jnp.where(use_analytic[..., None], repl, l_cached)
+            if bounce < cfg.bounce_num:
+                repl0, repl1 = l_hit0, l_hit1
+            else:
+                repl0 = jnp.maximum(l_cached, l_hit0)
+                repl1 = jnp.maximum(l_cached, l_hit1)
+            l_c0 = jnp.where(use_analytic[..., None], repl0, l_cached)
+            l_c1 = jnp.where(use_analytic[..., None], repl1, l_cached)
 
-            contrib = l_cached * throughput * alive[..., None]
-            # the primary-surface emission is written to the direct-lighting
-            # G-buffer instead (TraceOpaque main), so bounce>=1 contributions only
-            lsum = lsum + contrib
+            live3 = alive[..., None]
+            contrib0 = l_c0 * throughput * live3
+            contrib1 = l_c1 * throughput * live3
             # cache hit already contains multi-bounce light: damp the remainder
             # of the path (TraceOpaque.cs.hlsl:383)
             throughput = throughput * (1.0 - cache_w)[..., None]
 
+            diffuse_like = estimate_diffuse_probability(props, use_magic_boost=True)
+            records.append({
+                "sxo": sxo, "sdir": sdir,
+                "c0": contrib0, "c1": contrib1,
+                "lem_thr": color.luminance(props["lemi"] * throughput),
+                "diffuse_like": jnp.where(is_diffuse, 1.0, diffuse_like),
+                "hit_t": jnp.where(alive, props["t"], 0.0),
+                "curv": props["curvature"],
+            })
+
+            alive = alive & jnp.logical_not(props["miss"])
+
+        per_path.append((is_diffuse_path, first_ray, records))
+
+    # ---- ONE batched shadow launch for every pending visibility ray ----
+    all_recs = [r for (_, _, recs) in per_path for r in recs]
+    extra = [primary_shadow] if primary_shadow is not None else []
+    if not all_recs and not extra:
+        return {
+            "diff_radiance": diff_radiance, "spec_radiance": spec_radiance,
+            "diff_hitdist": diff_hitdist, "spec_hitdist": spec_hitdist,
+            "diff_factor": diff_factor0, "spec_factor": spec_factor0,
+            "diff_dir": diff_dir, "spec_dir": spec_dir,
+            "primary_shadow": None,
+        }
+    origins = jnp.concatenate(
+        [r["sxo"] for r in all_recs] + [e[0] for e in extra], axis=0
+    )
+    dirs = jnp.concatenate(
+        [r["sdir"] for r in all_recs] + [e[1] for e in extra], axis=0
+    )
+    blocked = traversal.any_hit(
+        ctx, origins, dirs, jnp.full((origins.shape[0],), traversal.T_MAX),
+        coherent=False,
+    )
+    # disable_shadows doubles as "IS enabled" in the reference; the sun NEE
+    # shadow ray is skipped then (GetLighting:675)
+    vis = jnp.where(
+        settings.disable_shadows > 0, 1.0, 1.0 - blocked.astype(f32)
+    )
+    primary_shadow_vis = vis[len(all_recs) * n_px:] if extra else None
+
+    # ---- replay: select contribs by visibility, rebuild the accumulation ----
+    rec_i = 0
+    for is_diff, first_ray, recs in per_path:
+        lsum = jnp.zeros((n_px, 3), f32)
+        acc_hitdist = jnp.zeros((n_px,), f32)
+        acc_diffuse_like_motion = jnp.zeros((n_px,), f32)
+        acc_curvature = jnp.zeros((n_px,), f32)
+        for r in recs:
+            s = vis[rec_i * n_px:(rec_i + 1) * n_px]
+            rec_i += 1
+            contrib = jnp.where(s[..., None] > 0.5, r["c1"], r["c0"])
+            lsum = lsum + contrib
             # ---- NRD hit-distance accumulation (TraceOpaque.cs.hlsl:385-397) ----
             a = color.luminance(contrib)
             b = color.luminance(lsum)
             importance = a / (b + 1e-6)
-            importance = importance * (
-                1.0 - color.luminance(props["lemi"] * throughput) / (a + 1e-6)
-            )
-            diffuse_like = estimate_diffuse_probability(props, use_magic_boost=True)
-            diffuse_like = jnp.where(is_diffuse, 1.0, diffuse_like)
-            hit_t = jnp.where(alive, props["t"], 0.0)
-            thin_lens = hit_t / (2.0 * acc_curvature * hit_t + 1.0)
+            importance = importance * (1.0 - r["lem_thr"] / (a + 1e-6))
+            thin_lens = r["hit_t"] / (2.0 * acc_curvature * r["hit_t"] + 1.0)
             acc_hitdist = acc_hitdist + thin_lens * geo.smoothstep(
                 0.2, 0.0, acc_diffuse_like_motion
             )
             acc_diffuse_like_motion = acc_diffuse_like_motion + 1.0 - importance * (
-                1.0 - diffuse_like
+                1.0 - r["diffuse_like"]
             )
-            acc_curvature = acc_curvature + props["curvature"]
-
-            alive = alive & jnp.logical_not(props["miss"])
+            acc_curvature = acc_curvature + r["curv"]
 
         # ---- accumulate per-path results (TraceOpaque.cs.hlsl:423-447) ----
-        is_diff = is_diffuse_path
         diff_radiance = diff_radiance + jnp.where(is_diff[..., None], lsum, 0.0)
         spec_radiance = spec_radiance + jnp.where(is_diff[..., None], 0.0, lsum)
         diff_hitdist = diff_hitdist + jnp.where(is_diff, acc_hitdist, 0.0)
@@ -369,6 +430,7 @@ def trace_paths(ctx: traversal.TraceContext, scene: Scene, cam: Camera,
         "spec_factor": spec_factor0,
         "diff_dir": diff_dir * diff_norm[..., None],
         "spec_dir": spec_dir * spec_norm[..., None],
+        "primary_shadow": primary_shadow_vis,
     }
 
 
@@ -493,6 +555,7 @@ def trace_opaque(ctx: traversal.TraceContext, scene: Scene, cam: Camera,
     direct = lighting.direct_sun_lighting(
         props["n"], props["v"], props["base_color"], props["metalness"],
         props["roughness"], sun_dir, tan_sun, cfg.use_white_furnace,
+        flags=props["flags"] if cfg.use_hair_sss else None,
     )
     direct = jnp.where(props["miss"][..., None], 0.0, direct)
     emission = jnp.where(
@@ -502,18 +565,20 @@ def trace_opaque(ctx: traversal.TraceContext, scene: Scene, cam: Camera,
     )
 
     # SIGMA input: sun shadow at primary surface (penumbra pass,
-    # TraceOpaque.cs.hlsl:767-804); shadow translucency omitted round-1
-    shadow = lighting.sun_shadow_ray(
-        ctx, props["x"], props["n_geom"], sun_dir, tan_sun, pixel_idx, frame,
+    # TraceOpaque.cs.hlsl:767-804); shadow translucency omitted round-1.
+    # The visibility ray itself joins trace_paths' single batched launch.
+    p_sxo, p_sdir = lighting.sun_shadow_ray_params(
+        props["x"], props["n_geom"], sun_dir, tan_sun, pixel_idx, frame,
         unproject, view_z, dim=501,
     )
-    shadow = jnp.where(props["miss"], 1.0, shadow)
-    shadow = jnp.where(settings.disable_shadows > 0, 1.0, shadow)
 
     paths = trace_paths(
         ctx, scene, cam, cfg, settings, frame, props, pixel_idx, sharc_state,
-        l1_hist, cone0=cone,
+        l1_hist, cone0=cone, primary_shadow=(p_sxo, p_sdir),
     )
+    shadow = paths.pop("primary_shadow")
+    shadow = jnp.where(props["miss"], 1.0, shadow)
+    shadow = jnp.where(settings.disable_shadows > 0, 1.0, shadow)
 
     return {
         "view_z": view_z,

@@ -94,6 +94,45 @@ def transform_scene(inst: InstancedScene, transforms: jnp.ndarray) -> Scene:
     return dataclasses.replace(inst.scene, tris=new_tris)
 
 
+def _invert_3x4(m: jnp.ndarray) -> jnp.ndarray:
+    """Batch-invert (N, 3, 4) affine transforms (general 3x3 via adjugate)."""
+    r = m[..., :3]
+    t = m[..., 3]
+    c0 = jnp.cross(r[..., :, 1], r[..., :, 2], axis=-1)
+    det = jnp.sum(r[..., :, 0] * c0, axis=-1, keepdims=True)
+    inv_r = jnp.stack(
+        [
+            jnp.cross(r[..., :, 1], r[..., :, 2], axis=-1),
+            jnp.cross(r[..., :, 2], r[..., :, 0], axis=-1),
+            jnp.cross(r[..., :, 0], r[..., :, 1], axis=-1),
+        ],
+        axis=-2,
+    ) / jnp.where(jnp.abs(det[..., None]) < 1e-20, 1e-20, det[..., None])
+    inv_t = -jnp.einsum("nij,nj->ni", inv_r, t)
+    return jnp.concatenate([inv_r, inv_t[..., None]], axis=-1)
+
+
+def prev_position(inst: InstancedScene, m_curr: jnp.ndarray, m_prev: jnp.ndarray,
+                  x: jnp.ndarray, tri: jnp.ndarray) -> jnp.ndarray:
+    """Xprev for hit points on animated geometry — the worldToWorldPrev
+    motion-matrix path of GatherInstanceData (NRDSample.cpp:3395-3630, dynamic
+    overload): x_prev = M_prev * M_curr^{-1} * x, per the hit triangle's
+    instance. Feed the result to camera.get_motion for true 2.5D motion
+    vectors of moving objects."""
+    tri_safe = jnp.clip(tri, 0, inst.instance_id.shape[0] - 1)
+    iid = inst.instance_id[tri_safe]
+    w2w = jnp.einsum(
+        "nij,njk->nik",
+        m_prev[iid][..., :3],
+        _invert_3x4(m_curr)[iid][..., :3],
+    )
+    t_rel = m_prev[iid][..., 3] + jnp.einsum(
+        "nij,nj->ni", m_prev[iid][..., :3], _invert_3x4(m_curr)[iid][..., 3]
+    )
+    x_prev = jnp.einsum("nij,nj->ni", w2w, x) + t_rel
+    return jnp.where((tri >= 0)[..., None], x_prev, x)
+
+
 def refit_context(ctx, world_scene: Scene):
     """Refit the acceleration structure to moved geometry (the BLAS/TLAS refit
     analogue, NRDSample.cpp:2727-2780 ALLOW_UPDATE path).

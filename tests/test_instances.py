@@ -139,3 +139,53 @@ def test_nine_brothers_grid():
     np.testing.assert_allclose(pos[4], [0.0, 3.0, 0.0], atol=1e-5)
     # grid spans spacing*2 in x and z
     assert pos[:, 0].max() - pos[:, 0].min() == pytest.approx(2.4, abs=1e-4)
+
+
+def test_prev_position_tracks_motion():
+    """Xprev of a point on a translated instance maps back by the motion."""
+    scene, inst_ids = _box_scene()
+    ctx, scene2 = traversal.build_context(scene, mode="dense")
+    inst = instances.assign_instance_ids(scene2, inst_ids, ctx)
+
+    m_prev = instances.identity_transforms(2)
+    m_curr = instances.identity_transforms(2).at[1, 0, 3].set(2.0)  # box moved +2x
+
+    # a hit point on the box's current surface
+    tri_ids = np.asarray(inst.instance_id)
+    box_tri = int(np.nonzero(tri_ids == 1)[0][0])
+    x = jnp.asarray([[2.5, 0.0, 0.0]])  # on the moved box
+    tri = jnp.asarray([box_tri], jnp.int32)
+    xp = np.asarray(instances.prev_position(inst, m_curr, m_prev, x, tri))
+    np.testing.assert_allclose(xp[0], [0.5, 0.0, 0.0], atol=1e-5)
+
+    # static ground (instance 0) keeps its position
+    ground_tri = int(np.nonzero(tri_ids == 0)[0][0])
+    xg = jnp.asarray([[5.0, 1.0, -1.75]])
+    xp2 = np.asarray(instances.prev_position(
+        inst, m_curr, m_prev, xg, jnp.asarray([ground_tri], jnp.int32)
+    ))
+    np.testing.assert_allclose(xp2[0], [5.0, 1.0, -1.75], atol=1e-5)
+
+    # miss (-1) passes through
+    xp3 = np.asarray(instances.prev_position(
+        inst, m_curr, m_prev, xg, jnp.asarray([-1], jnp.int32)
+    ))
+    np.testing.assert_allclose(xp3[0], np.asarray(xg)[0], atol=1e-6)
+
+
+def test_prev_position_rotation():
+    scene, inst_ids = _box_scene()
+    ctx, scene2 = traversal.build_context(scene, mode="dense")
+    inst = instances.assign_instance_ids(scene2, inst_ids, ctx)
+    rot = jnp.asarray([[0.0, -1.0, 0.0], [1.0, 0.0, 0.0], [0.0, 0.0, 1.0]])
+    m_prev = instances.identity_transforms(2)
+    m_curr = instances.identity_transforms(2).at[1, :, :3].set(rot)
+    tri_ids = np.asarray(inst.instance_id)
+    box_tri = int(np.nonzero(tri_ids == 1)[0][0])
+    # current point = rot @ p_local; prev = p_local
+    p_local = np.array([0.5, 0.25, 0.1], np.float32)
+    x_curr = np.asarray(rot) @ p_local
+    xp = np.asarray(instances.prev_position(
+        inst, m_curr, m_prev, jnp.asarray([x_curr]), jnp.asarray([box_tri], jnp.int32)
+    ))
+    np.testing.assert_allclose(xp[0], p_local, atol=1e-5)
