@@ -168,6 +168,25 @@ def render_frame(ctx: traversal.TraceContext, scene: Scene, cam: Camera,
     spec = gb["spec_radiance"]
     shadow = gb["shadow"]
 
+    # ---- checkerboard reconstruction (RESOLUTION_HALF, Shared.hlsli:62-65):
+    # each lobe was traced at half rate; fill the untraced pixels from
+    # horizontal neighbors before the denoisers see them ----
+    from nrdsample_tpu.config import TracingMode
+
+    if cfg.tracing_mode == TracingMode.HALF and pixel_idx is None:
+        from nrdsample_tpu.denoise import checkerboard as cb_mod
+
+        cb = cb_mod.checkerboard_mask(h_local, w, frame)  # True = diffuse traced
+        diff = flat(cb_mod.resolve(img(diff), cb))
+        spec = flat(cb_mod.resolve(img(spec), jnp.logical_not(cb)))
+        gb = dict(
+            gb,
+            diff_hitdist=flat(cb_mod.resolve(img(gb["diff_hitdist"]), cb)),
+            spec_hitdist=flat(
+                cb_mod.resolve(img(gb["spec_hitdist"]), jnp.logical_not(cb))
+            ),
+        )
+
     new_h = {"frame_index": frame + 1}
     if new_confidence_state is not None:
         new_h["confidence"] = new_confidence_state
