@@ -62,7 +62,7 @@ def cmd_render(args) -> int:
     from nrdsample_tpu.scene.types import look_at
     from nrdsample_tpu.utils import image as image_mod
 
-    from nrdsample_tpu.config import NrdMode
+    from nrdsample_tpu.config import NrdMode, OnScreen
 
     _register_scenes()
     scene = SCENES[args.scene]()
@@ -78,6 +78,7 @@ def cmd_render(args) -> int:
         tracing_mode=TracingMode.FULL_PROBABILISTIC,
         denoiser=Denoiser[args.denoiser.upper()],
         nrd_mode=NrdMode[args.nrd_mode.upper().replace("-", "_")],
+        on_screen=OnScreen[args.on_screen.upper().replace("-", "_")],
         use_taa=args.taa,
         use_sharc=args.sharc,
         psr_bounce_num=args.psr,
@@ -112,7 +113,12 @@ def cmd_render(args) -> int:
         file=sys.stderr,
     )
 
-    if cfg.enable_post and out["display"] is not None:
+    if out.get("debug") is not None:
+        img = np.asarray(out["debug"]).reshape(args.size, args.size, 3)
+        image_mod.write_png(
+            args.out, (np.clip(img, 0.0, 1.0) * 255.0 + 0.5).astype(np.uint8)
+        )
+    elif cfg.enable_post and out["display"] is not None:
         # post chain already tonemapped + sRGB'd at output resolution
         disp = np.asarray(out["display"])
         image_mod.write_png(args.out, (disp * 255.0 + 0.5).astype(np.uint8))
@@ -165,6 +171,11 @@ def main(argv=None) -> int:
     r.add_argument("--nis", action="store_true", help="NIS-style sharpen")
     r.add_argument("--separator", type=float, default=0.0,
                    help="split-screen noisy|denoised separator in [0,1]")
+    r.add_argument("--on-screen", default="final",
+                   help="debug view (gOnScreen): final, base-color, normal, "
+                        "roughness, metalness, shadow, material-id, uv, "
+                        "curvature, mip-primary, instance-index, "
+                        "ambient-occlusion, denoised-diffuse, ...")
     r.set_defaults(fn=cmd_render)
 
     s = sub.add_parser("scenes", help="list scenes")

@@ -151,6 +151,7 @@ class RenderConfig:
     psr_bounce_num: int = 0           # primary-surface-replacement mirror walk depth
     nrd_mode: NrdMode = NrdMode.NORMAL
     tracing_mode: TracingMode = TracingMode.FULL_PROBABILISTIC
+    on_screen: OnScreen = OnScreen.FINAL   # debug visualization (gOnScreen)
     use_importance_sampling: bool = True
     importance_samples: int = PT_IMPORTANCE_SAMPLES_NUM
     use_sharc: bool = False

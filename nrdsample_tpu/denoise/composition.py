@@ -57,4 +57,31 @@ def debug_view(on_screen: int, gb: dict, composed: jnp.ndarray) -> jnp.ndarray:
         return gb["diff_radiance"] * gb["diff_factor"]
     if on_screen == OnScreen.DENOISED_SPECULAR:
         return gb["spec_radiance"] * gb["spec_factor"]
+    if on_screen == OnScreen.AMBIENT_OCCLUSION:
+        occ = jnp.clip(gb["diff_hitdist"] / (gb["diff_hitdist"] + 1.0), 0.0, 1.0)
+        return jnp.repeat(occ[..., None], 3, axis=-1)
+    if on_screen == OnScreen.SPECULAR_OCCLUSION:
+        occ = jnp.clip(gb["spec_hitdist"] / (gb["spec_hitdist"] + 1.0), 0.0, 1.0)
+        return jnp.repeat(occ[..., None], 3, axis=-1)
+    if on_screen == OnScreen.PSR_THROUGHPUT:
+        return gb.get("psr_throughput", jnp.ones_like(composed))
+    if on_screen == OnScreen.INSTANCE_INDEX:
+        # hashed triangle id as a stand-in color (TraceOpaque.cs.hlsl:666-670)
+        tri = jnp.maximum(gb["tri"] if "tri" in gb else gb["material_id"].astype(jnp.int32), 0)
+        h = (tri.astype(jnp.uint32) * jnp.uint32(0x9E3779B9))
+        return jnp.stack(
+            [((h >> s) & 0xFF).astype(composed.dtype) / 255.0 for s in (0, 8, 16)],
+            axis=-1,
+        )
+    if on_screen == OnScreen.UV:
+        uv = gb["uv"]
+        return jnp.concatenate(
+            [jnp.mod(uv, 1.0), jnp.zeros_like(uv[..., :1])], axis=-1
+        )
+    if on_screen == OnScreen.CURVATURE:
+        c = jnp.sqrt(jnp.abs(gb.get("curvature", jnp.zeros_like(gb["view_z"]))))
+        return jnp.repeat(c[..., None], 3, axis=-1)
+    if on_screen == OnScreen.MIP_PRIMARY:
+        m = gb.get("mip", jnp.zeros_like(gb["view_z"])) / 8.0
+        return jnp.repeat(m[..., None], 3, axis=-1)
     return composed

@@ -331,10 +331,18 @@ def render_frame(ctx: traversal.TraceContext, scene: Scene, cam: Camera,
             tm, noisy=noisy_up, separator=settings.separator, frame_index=frame
         )
 
+    # debug views (gOnScreen, Composition.cs.hlsl:200-238)
+    from nrdsample_tpu.config import OnScreen
+
+    debug = None
+    if cfg.on_screen != OnScreen.FINAL:
+        debug = composition.debug_view(cfg.on_screen, gb, composed)
+
     outputs = {
         "color": composed,
         "final": final,
         "display": display,
+        "debug": debug,
         "view_z": gb["view_z"],
         "normal": gb["normal"],
         "shadow": shadow,

@@ -598,6 +598,9 @@ def trace_opaque(ctx: traversal.TraceContext, scene: Scene, cam: Camera,
         "primary_x": props["x"],
         "primary_t": props["t"],
         "uv": uv,
+        "tri": props["tri"],
+        "curvature": props["curvature"],
+        "mip": props.get("mip"),
         "l_psr": l_psr,
         "psr_throughput": psr_throughput,
         **paths,
