@@ -33,6 +33,7 @@ def _register_scenes():
             ),
             "shaderballs": lambda: procedural.shader_balls(),
             "kitchen": lambda: procedural.kitchen(),
+            "interior-night": lambda: procedural.interior_night(),
             "soup": lambda: procedural.random_soup(100_000),
         }
     )
@@ -44,6 +45,7 @@ DEFAULT_CAMERAS = {
     "cornellbox-glass": ([0.0, -3.2, 1.0], [0.0, 0.0, 1.0], 39.0),
     "shaderballs": ([0.0, -9.0, 4.5], [0.0, 0.0, 0.8], 50.0),
     "kitchen": ([0.0, -1.6, 1.6], [0.0, 1.5, 1.2], 65.0),
+    "interior-night": ([0.0, -3.5, 1.8], [0.0, 1.5, 1.2], 60.0),
     "soup": ([0.0, -60.0, 25.0], [0.0, 0.0, 5.0], 55.0),
 }
 

@@ -67,7 +67,7 @@ def _mt_block(ox, oy, oz, dx, dy, dz, p0x, p0y, p0z, e1x, e1y, e1z, e2x, e2y, e2
 
 PACKETS_PER_STEP = 8  # TPU block shapes need >= 8 sublanes; each grid step
                       # therefore runs 8 independent packet loops sequentially
-UNROLL = 4            # independent cluster tests per loop trip (ILP; the loop
+UNROLL = 8            # independent cluster tests per loop trip (ILP; the loop
                       # is latency-bound on the slice->intersect->reduce chain)
 
 

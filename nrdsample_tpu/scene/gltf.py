@@ -110,7 +110,69 @@ def _parse_glb(data: bytes):
     return doc, binary
 
 
-def load_gltf(path: str, max_emissive: int = 256) -> Scene:
+def _decode_image(doc, buffers, base_dir, image_idx):
+    """Decode a glTF image (bufferView or URI) to float32 [0,1] HxWxC."""
+    import io
+
+    from PIL import Image
+
+    img = doc["images"][image_idx]
+    if "bufferView" in img:
+        bv = doc["bufferViews"][img["bufferView"]]
+        buf = buffers[bv["buffer"]]
+        off = bv.get("byteOffset", 0)
+        data = buf[off:off + bv["byteLength"]]
+    else:
+        uri = img["uri"]
+        if uri.startswith("data:"):
+            data = base64.b64decode(uri.split(",", 1)[1])
+        else:
+            with open(os.path.join(base_dir, uri), "rb") as f:
+                data = f.read()
+    pil = Image.open(io.BytesIO(data))
+    return np.asarray(pil.convert("RGBA"), np.float32) / 255.0
+
+
+def _material_textures(doc, buffers, base_dir, mats, tex_res):
+    """Per-material texture dicts for textures.build_texture_set: baseColor
+    (+alpha), metallicRoughness (G=roughness, B=metalness), emissive — the 4
+    bindless fetches of GetMaterialProps (RaytracingShared.hlsli:424-555)."""
+    def tex_image(tex_info):
+        if not tex_info:
+            return None
+        tex = doc["textures"][tex_info["index"]]
+        if "source" not in tex:
+            return None
+        return _decode_image(doc, buffers, base_dir, tex["source"])
+
+    per_material = []
+    any_tex = False
+    for m in mats or [{}]:
+        pbr = m.get("pbrMetallicRoughness", {})
+        entry = {}
+        bc = tex_image(pbr.get("baseColorTexture"))
+        if bc is not None:
+            entry["base_color"] = bc  # RGBA; alpha channel picked up by builder
+            any_tex = True
+        mr = tex_image(pbr.get("metallicRoughnessTexture"))
+        if mr is not None:
+            entry["roughness"] = mr[..., 1]
+            entry["metalness"] = mr[..., 2]
+            any_tex = True
+        em = tex_image(m.get("emissiveTexture"))
+        if em is not None:
+            entry["emissive"] = em[..., :3].mean(axis=-1)
+            any_tex = True
+        per_material.append(entry)
+    if not any_tex:
+        return None
+    from nrdsample_tpu.scene import textures as tex_mod
+
+    return tex_mod.build_texture_set(per_material, res=tex_res)
+
+
+def load_gltf(path: str, max_emissive: int = 256, load_textures: bool = True,
+              tex_res: int = 256) -> Scene:
     """Load a .gltf/.glb file into a Scene (world-space flattened)."""
     base_dir = os.path.dirname(os.path.abspath(path))
     if path.endswith(".glb"):
@@ -145,9 +207,11 @@ def load_gltf(path: str, max_emissive: int = 256) -> Scene:
             "KHR_materials_transmission" in m.get("extensions", {})
             or m.get("alphaMode") == "BLEND"
         )
-        flags.append(
-            config.FLAG_TRANSPARENT if transmissive else config.FLAG_NON_TRANSPARENT
-        )
+        fl = config.FLAG_TRANSPARENT if transmissive else config.FLAG_NON_TRANSPARENT
+        if m.get("alphaMode") == "MASK":
+            # alpha-tested foliage etc -> any-hit alpha test
+            fl |= config.FLAG_ALPHA_TEST
+        flags.append(fl)
     if not mats:
         base_color, metalness, roughness = [[0.8, 0.8, 0.8]], [0.0], [0.9]
         emission, ior, flags = [[0, 0, 0]], [1.5], [config.FLAG_NON_TRANSPARENT]
@@ -222,7 +286,18 @@ def load_gltf(path: str, max_emissive: int = 256) -> Scene:
         ior=np.asarray(np.array(ior, np.float32)),
         flags=np.asarray(np.array(flags, np.int32)),
     )
-    return make_scene(tris, materials, max_emissive=max_emissive)
+    scene = make_scene(tris, materials, max_emissive=max_emissive)
+
+    if load_textures:
+        ts = _material_textures(doc, buffers, base_dir, mats, tex_res)
+        if ts is not None:
+            import dataclasses as dc
+
+            has_at = bool(
+                (np.asarray(materials.flags) & config.FLAG_ALPHA_TEST).any()
+            )
+            scene = dc.replace(scene, textures=ts, has_alpha_test=has_at)
+    return scene
 
 
 def _flat_normals(verts: np.ndarray, idx: np.ndarray) -> np.ndarray:

@@ -328,6 +328,78 @@ def kitchen(light_intensity: float = 8.0) -> Scene:
     return _assemble(parts, mats, max_emissive=8)
 
 
+def interior_night(n_lights: int = 12, grid: int = 4, sphere_res: int = 16,
+                   light_intensity: float = 25.0) -> Scene:
+    """BistroInterior-night-class scene (BASELINE config 5 shape): a dark
+    interior lit ONLY by many small emissive panels — exercises the
+    16-candidate emissive importance sampling — plus glass and metal spheres
+    for the TraceTransparent path and specular stress.
+    """
+    parts = []
+    n_total_mats = 5 + n_lights
+    base_color = [
+        [0.55, 0.5, 0.45],    # walls
+        [0.35, 0.25, 0.2],    # floor wood
+        [0.9, 0.9, 0.92],     # metal
+        [0.95, 0.95, 0.98],   # glass
+        [0.6, 0.2, 0.15],     # cloth red
+    ]
+    metalness = [0.0, 0.0, 0.95, 0.0, 0.0]
+    roughness = [0.85, 0.45, 0.15, 0.05, 0.8]
+    emission = [[0, 0, 0]] * 5
+    flags = [config.FLAG_NON_TRANSPARENT] * 3 + [
+        config.FLAG_TRANSPARENT, config.FLAG_NON_TRANSPARENT
+    ]
+    ior = [1.5] * 5
+    rs = np.random.RandomState(7)
+    for k in range(n_lights):
+        # varied warm light colors (night-time bistro string lights)
+        c = np.array([1.0, 0.55 + 0.4 * rs.rand(), 0.25 + 0.3 * rs.rand()])
+        base_color.append([0.9, 0.9, 0.9])
+        metalness.append(0.0)
+        roughness.append(1.0)
+        emission.append(list(c * light_intensity))
+        flags.append(config.FLAG_NON_TRANSPARENT | config.FLAG_FORCED_EMISSION)
+        ior.append(1.5)
+
+    mats = {
+        "base_color": base_color, "metalness": metalness,
+        "roughness": roughness, "emission": emission,
+        "flags": flags, "ior": ior,
+    }
+
+    # room shell 10x8x4, inward normals
+    v, i = make_box([0, 0, 2.0], [10, 8, 4], flip=True)
+    parts.append((v, i, None, 0))
+    # wood floor overlay
+    fv, fi = _quad([-5, -4, 0.01], [5, -4, 0.01], [5, 4, 0.01], [-5, 4, 0.01])
+    parts.append((fv, fi, None, 1))
+    # tables with glass + metal spheres
+    for gx in range(grid):
+        for gy in range(2):
+            cx = -3.5 + gx * 7.0 / max(grid - 1, 1)
+            cy = -2.0 + gy * 4.0
+            v, i = make_box([cx, cy, 0.5], [1.2, 1.2, 1.0])
+            parts.append((v, i, None, 4))
+            sv, si, sn = make_sphere([cx - 0.25, cy, 1.25], 0.22,
+                                     sphere_res, sphere_res * 2)
+            parts.append((sv, si, sn, 3))      # glass
+            sv, si, sn = make_sphere([cx + 0.3, cy + 0.2, 1.18], 0.16,
+                                     sphere_res, sphere_res * 2)
+            parts.append((sv, si, sn, 2))      # metal
+    # emissive ceiling panels (the IS targets)
+    for k in range(n_lights):
+        lx = -4.0 + (k % 4) * 2.6 + rs.rand() * 0.4
+        ly = -3.0 + (k // 4) * 2.8 + rs.rand() * 0.4
+        s = 0.25 + 0.2 * rs.rand()
+        lv, li = _quad(
+            [lx - s, ly - s, 3.95], [lx - s, ly + s, 3.95],
+            [lx + s, ly + s, 3.95], [lx + s, ly - s, 3.95],
+        )
+        parts.append((lv, li, None, 5 + k))
+    return _assemble(parts, mats, max_emissive=max(64, 4 * n_lights))
+
+
 def random_soup(num_tris: int = 100_000, extent: float = 50.0, seed: int = 0) -> Scene:
     """Bistro-class triangle-count perf scene: incoherent small triangles.
 

@@ -119,3 +119,97 @@ class TestGltf:
         p.write_bytes(glb)
         scene = gltf.load_gltf(str(p))
         assert scene.num_tris == 2
+
+
+class TestTextures:
+    def _make_textured_gltf(self, tmp_path):
+        """Quad with UVs + a 4x4 PNG baseColor texture, alphaMode MASK."""
+        import io
+
+        from PIL import Image
+
+        verts = np.array(
+            [[0, 0, 0], [1, 0, 0], [1, 1, 0], [0, 1, 0]], np.float32
+        )
+        uvs = np.array([[0, 0], [1, 0], [1, 1], [0, 1]], np.float32)
+        idx = np.array([0, 1, 2, 0, 2, 3], np.uint16)
+        buf = verts.tobytes() + uvs.tobytes() + idx.tobytes()
+
+        img = np.zeros((4, 4, 4), np.uint8)
+        img[..., 0] = 255   # pure red texture
+        img[..., 3] = 255
+        img[:, :2, 3] = 0   # left half transparent (alpha test)
+        bio = io.BytesIO()
+        Image.fromarray(img).save(bio, format="PNG")
+        png_b64 = base64.b64encode(bio.getvalue()).decode()
+
+        doc = {
+            "asset": {"version": "2.0"},
+            "scene": 0,
+            "scenes": [{"nodes": [0]}],
+            "nodes": [{"mesh": 0}],
+            "meshes": [{"primitives": [{
+                "attributes": {"POSITION": 0, "TEXCOORD_0": 1},
+                "indices": 2, "material": 0,
+            }]}],
+            "materials": [{
+                "alphaMode": "MASK",
+                "pbrMetallicRoughness": {
+                    "baseColorFactor": [1.0, 1.0, 1.0, 1.0],
+                    "baseColorTexture": {"index": 0},
+                },
+            }],
+            "textures": [{"source": 0}],
+            "images": [{"uri": "data:image/png;base64," + png_b64}],
+            "buffers": [{
+                "byteLength": len(buf),
+                "uri": "data:application/octet-stream;base64,"
+                + base64.b64encode(buf).decode(),
+            }],
+            "bufferViews": [
+                {"buffer": 0, "byteOffset": 0, "byteLength": 48},
+                {"buffer": 0, "byteOffset": 48, "byteLength": 32},
+                {"buffer": 0, "byteOffset": 80, "byteLength": 12},
+            ],
+            "accessors": [
+                {"bufferView": 0, "componentType": 5126, "count": 4, "type": "VEC3"},
+                {"bufferView": 1, "componentType": 5126, "count": 4, "type": "VEC2"},
+                {"bufferView": 2, "componentType": 5123, "count": 6, "type": "SCALAR"},
+            ],
+        }
+        p = tmp_path / "textured.gltf"
+        p.write_text(json.dumps(doc))
+        return str(p)
+
+    def test_textures_loaded_and_alpha_flagged(self, tmp_path):
+        scene = gltf.load_gltf(self._make_textured_gltf(tmp_path), tex_res=16)
+        assert scene.textures is not None
+        assert scene.has_alpha_test
+        import numpy as _np
+
+        from nrdsample_tpu import config as _cfg
+
+        assert (_np.asarray(scene.materials.flags) & _cfg.FLAG_ALPHA_TEST).any()
+        # the loaded base-color texture is red
+        lvl0 = _np.asarray(scene.textures.levels[0])
+        assert lvl0.shape[0] == 1  # one material
+        red = lvl0[0, :, 8:, 0]    # right (opaque) half
+        assert red.mean() > 0.9
+        # alpha plane carries the left-half transparency
+        alpha = lvl0[0, :, :, 3]
+        assert alpha[:, :4].mean() < 0.2 and alpha[:, 12:].mean() > 0.9
+
+    def test_textured_scene_traces_through_alpha(self, tmp_path):
+        from nrdsample_tpu.ops import traversal
+
+        scene = gltf.load_gltf(self._make_textured_gltf(tmp_path), tex_res=16)
+        ctx, scene2 = traversal.build_context(scene)
+        import jax.numpy as jnp
+
+        # ray through the transparent left half passes; opaque right half blocks
+        o = jnp.asarray([[0.25, 0.5, 1.0], [0.75, 0.5, 1.0]], jnp.float32)
+        d = jnp.asarray([[0.0, 0.0, -1.0], [0.0, 0.0, -1.0]], jnp.float32)
+        res = traversal.closest_hit_alpha(ctx, scene2, o, d)
+        tri = np.asarray(res["tri"])
+        assert tri[0] < 0    # passed through
+        assert tri[1] >= 0   # blocked
