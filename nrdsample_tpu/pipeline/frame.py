@@ -168,6 +168,24 @@ def render_frame(ctx: traversal.TraceContext, scene: Scene, cam: Camera,
     spec = gb["spec_radiance"]
     shadow = gb["shadow"]
 
+    # ---- glass-aware shadow translucency (SIGMA_TRANSLUCENCY,
+    # TraceOpaque.cs.hlsl:767-804): the sun shadow ray marches through the
+    # transparent set; glass hits tint/attenuate instead of fully blocking ----
+    if ctxs.transparent is not None and cfg.use_translucency and "shadow_ray" in gb:
+        sxo, sdir = gb["shadow_ray"]
+        g_hit = traversal.closest_hit(ctxs.transparent, sxo, sdir)
+        g_found = g_hit["tri"] >= 0
+        tri_local = jnp.maximum(g_hit["tri"] - ctxs.transparent.tri_offset, 0)
+        g_mat = ctxs.transparent.tris.material[tri_local]
+        tint = scene.materials.base_color[g_mat]
+        # Fresnel-averaged two-interface transmission estimate (~0.85) x tint
+        translucency = jnp.where(
+            g_found, 0.85 * jnp.mean(tint, axis=-1), 1.0
+        )
+        shadow = shadow * jnp.where(
+            settings.disable_shadows > 0, 1.0, translucency
+        )
+
     # ---- checkerboard reconstruction (RESOLUTION_HALF, Shared.hlsli:62-65):
     # each lobe was traced at half rate; fill the untraced pixels from
     # horizontal neighbors before the denoisers see them ----

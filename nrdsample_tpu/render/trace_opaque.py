@@ -594,6 +594,9 @@ def trace_opaque(ctx: traversal.TraceContext, scene: Scene, cam: Camera,
         "emission": emission,
         "shadow": shadow,
         "shadow_hit_dist": jnp.zeros_like(shadow),
+        # primary sun-visibility ray, exported so the glass-aware SIGMA
+        # translucency march can reuse it (TraceOpaque.cs.hlsl:767-804)
+        "shadow_ray": (p_sxo, p_sdir),
         "miss": props["miss"],
         "primary_x": props["x"],
         "primary_t": props["t"],

@@ -63,3 +63,50 @@ def test_shell_scene_still_renders():
         ctxs, scene, cam, cfg, settings, frame_mod.History.create(cfg)
     )
     assert np.isfinite(np.asarray(out["color"])).all()
+
+
+def test_glass_shadow_translucency():
+    """Glass between the sun and a surface casts a PARTIAL shadow
+    (SIGMA_TRANSLUCENCY, TraceOpaque.cs.hlsl:767-804)."""
+    import dataclasses
+
+    from nrdsample_tpu.scene.types import Materials, build_triangle_soa, make_scene
+    from nrdsample_tpu.ops import traversal
+    from nrdsample_tpu.pipeline import frame as frame_mod
+    from nrdsample_tpu.config import Denoiser, RenderConfig, Settings, TracingMode
+    from nrdsample_tpu.scene.types import look_at
+
+    # ground plane + a glass slab above it; sun straight overhead
+    gv, gi = procedural.make_box([0, 0, -0.5], [20, 20, 1.0])
+    pv, pi = procedural.make_box([0, 0, 3.0], [4, 4, 0.1])
+    verts = np.concatenate([gv, pv])
+    idx = np.concatenate([gi, pi + len(gv)])
+    mat = np.array([0] * len(gi) + [1] * len(pi), np.int32)
+    tris = build_triangle_soa(verts, idx, None, None, mat)
+    mats = Materials(
+        base_color=np.array([[0.7, 0.7, 0.7], [0.9, 0.9, 0.9]], np.float32),
+        metalness=np.zeros(2, np.float32),
+        roughness=np.array([0.8, 0.05], np.float32),
+        emission=np.zeros((2, 3), np.float32),
+        ior=np.full(2, 1.5, np.float32),
+        flags=np.array([config.FLAG_NON_TRANSPARENT, config.FLAG_TRANSPARENT],
+                       np.int32),
+    )
+    scene = make_scene(tris, mats)
+    ctxs, scene = traversal.build_scene_contexts(scene)
+    cam = look_at(eye=[0.0, -8.0, 4.0], target=[0.0, 0.0, 0.0], fov_y_deg=40.0)
+    cfg = RenderConfig(width=32, height=32, rpp=1, bounce_num=1,
+                       tracing_mode=TracingMode.FULL_PROBABILISTIC,
+                       denoiser=Denoiser.REFERENCE)
+    settings = Settings(sun_elevation=jnp.float32(89.0))
+    out, _ = frame_mod.render_frame(
+        ctxs, scene, cam, cfg, settings, frame_mod.History.create(cfg)
+    )
+    shadow = np.asarray(out["shadow"]).reshape(32, 32)
+    # ground pixels under the glass slab show a PARTIAL shadow
+    # (0.85 transmission x 0.9 tint = 0.765); elsewhere fully lit
+    partial = (shadow > 0.05) & (shadow < 0.999)
+    assert partial.sum() >= 8, "no partial (translucent) shadow found"
+    vals = shadow[partial]
+    np.testing.assert_allclose(vals, 0.765, atol=0.02)
+    assert (shadow > 0.999).sum() >= 8, "unshadowed ground must remain lit"
