@@ -131,6 +131,70 @@ def cmd_render(args) -> int:
     return 0
 
 
+def cmd_optimize(args) -> int:
+    """Inverse rendering: recover perturbed material parameters from a target
+    render (the BASELINE config-5 differentiable-optimization demo)."""
+    import jax
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+    import dataclasses as dc
+
+    import jax.numpy as jnp
+    import numpy as np
+
+    from nrdsample_tpu.config import Denoiser, RenderConfig, Settings, TracingMode
+    from nrdsample_tpu.ops import traversal
+    from nrdsample_tpu.pipeline import frame as frame_mod, train as train_mod
+    from nrdsample_tpu.scene.types import look_at
+
+    _register_scenes()
+    scene = SCENES[args.scene]()
+    eye, target_pt, fov = DEFAULT_CAMERAS[args.scene]
+    ctx, scene = traversal.build_context(scene)
+    cam = look_at(eye=eye, target=target_pt, fov_y_deg=fov)
+    cfg = RenderConfig(
+        width=args.size, height=args.size, rpp=1, bounce_num=1,
+        tracing_mode=TracingMode.FULL_PROBABILISTIC,
+        denoiser=Denoiser.REFERENCE,
+    )
+    settings = Settings(
+        sun_elevation=jnp.float32(args.sun_elevation),
+        disable_shadows=jnp.int32(1),
+    )
+
+    # ground-truth image with the TRUE materials
+    hist = frame_mod.History.create(cfg)
+    target, _ = train_mod.render_color(
+        ctx, cfg, scene.materials, scene, cam, settings, hist
+    )
+    target = jax.lax.stop_gradient(target)
+
+    # perturb the albedo and recover it
+    rs = np.random.RandomState(0)
+    bc_true = np.asarray(scene.materials.base_color)
+    bc0 = np.clip(bc_true + rs.uniform(-0.3, 0.3, bc_true.shape), 0.05, 0.95)
+    materials = dc.replace(scene.materials, base_color=jnp.asarray(bc0.astype(np.float32)))
+
+    step = train_mod.make_train_step(ctx, cfg, lr=args.lr)
+    err0 = float(np.abs(bc0 - bc_true).mean())
+    loss = None
+    for it in range(args.iters):
+        loss, materials = step(materials, scene, cam, settings, hist, target)
+        if it % max(args.iters // 10, 1) == 0:
+            err = float(np.abs(np.asarray(materials.base_color) - bc_true).mean())
+            print(f"iter {it:4d}  loss {float(loss):.6f}  albedo_err {err:.4f}",
+                  file=sys.stderr)
+    err1 = float(np.abs(np.asarray(materials.base_color) - bc_true).mean())
+    print(json.dumps({
+        "initial_albedo_error": err0,
+        "final_albedo_error": err1,
+        "final_loss": float(loss),
+        "recovered": err1 < err0 * 0.5,
+    }))
+    return 0 if err1 < err0 * 0.5 else 1
+
+
 def cmd_scenes(_args) -> int:
     _register_scenes()
     for name in SCENES:
@@ -179,6 +243,16 @@ def main(argv=None) -> int:
                         "curvature, mip-primary, instance-index, "
                         "ambient-occlusion, denoised-diffuse, ...")
     r.set_defaults(fn=cmd_render)
+
+    o = sub.add_parser("optimize", help="inverse-rendering demo (recover albedo)")
+    o.add_argument("--scene", default="cornellbox", choices=list(DEFAULT_CAMERAS))
+    o.add_argument("--size", type=int, default=48)
+    o.add_argument("--iters", type=int, default=200)
+    o.add_argument("--lr", type=float, default=4e-4,
+                   help="SGD lr; the loss sums over pixels, scale ~1/n_pixels")
+    o.add_argument("--sun-elevation", type=float, default=-30.0)
+    o.add_argument("--cpu", action="store_true")
+    o.set_defaults(fn=cmd_optimize)
 
     s = sub.add_parser("scenes", help="list scenes")
     s.set_defaults(fn=cmd_scenes)

@@ -68,8 +68,28 @@ def make_loss_fn(ctx, cfg):
     return loss_fn
 
 
+PARAM_BOUNDS = {
+    "base_color": (0.0, 1.0),
+    "metalness": (0.0, 1.0),
+    "roughness": (0.01, 1.0),
+    "emission": (0.0, 1e4),
+    "ior": (1.0, 2.5),
+}
+
+
+def project_materials(diff: dict) -> dict:
+    """Clamp optimized parameters into their physical ranges (projection step;
+    keeps long SGD runs from walking into NaN-producing regions)."""
+    return {
+        k: jnp.clip(v, *PARAM_BOUNDS[k]) if k in PARAM_BOUNDS else v
+        for k, v in diff.items()
+    }
+
+
 def make_train_step(ctx, cfg, lr: float = 0.05):
-    """Single-chip SGD step on material parameters."""
+    """Single-chip SGD step on material parameters. NOTE: the loss is a SUM
+    over pixels, so a stable lr scales like 1/n_pixels (the inverse-rendering
+    tests use 2e-4 at 32x32)."""
     loss_fn = make_loss_fn(ctx, cfg)
 
     @jax.jit
@@ -79,7 +99,7 @@ def make_train_step(ctx, cfg, lr: float = 0.05):
             mat_diff, mat_rest, scene, cam, settings, history, target
         )
         new_diff = jax.tree.map(lambda p, gr: p - lr * gr, mat_diff, g)
-        return loss, merge_materials(new_diff, mat_rest)
+        return loss, merge_materials(project_materials(new_diff), mat_rest)
 
     return step
 
