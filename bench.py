@@ -61,6 +61,31 @@ def main():
     jax.block_until_ready(color)
     dt = (time.perf_counter() - t0) / n_iter
 
+    # denoise-only throughput (BASELINE "Mpix/s per chip" metric): time the
+    # RELAX stack on one signal at bench resolution
+    from nrdsample_tpu.denoise import relax
+
+    h = w = size
+    rs_img = jnp.ones((h, w, 3), jnp.float32) * 0.5
+    vz = jnp.ones((h, w), jnp.float32)
+    nrm = jnp.zeros((h, w, 3), jnp.float32).at[..., 2].set(1.0)
+    mv = jnp.zeros((h, w, 3), jnp.float32)
+    rh = relax.RelaxHistory.create(h, w, jnp.float32)
+
+    @jax.jit
+    def dn(hist):
+        out, new_h = relax.denoise(hist, rs_img, vz, nrm, mv)
+        return out, new_h
+
+    out_d, rh = dn(rh)
+    jax.block_until_ready(out_d)
+    t0 = time.perf_counter()
+    for _ in range(n_iter):
+        out_d, rh = dn(rh)
+    jax.block_until_ready(out_d)
+    dt_dn = (time.perf_counter() - t0) / n_iter
+    denoise_mpix_s = cfg.n_pixels / dt_dn / 1e6
+
     rays_per_frame = cfg.n_pixels * count_rays_per_pixel(cfg)
     rays_per_s = rays_per_frame / dt
     print(
@@ -76,6 +101,7 @@ def main():
                     "rpp": cfg.rpp,
                     "bounces": cfg.bounce_num,
                     "frame_ms": dt * 1e3,
+                    "denoise_mpix_s": denoise_mpix_s,
                     "tris": int(scene.num_tris),
                     "device": str(jax.devices()[0]),
                 },

@@ -337,6 +337,9 @@ def closest_hit_packet(cs: ClusterSet, origin, direction, t_max=T_MAX,
     tm = jnp.concatenate([t_max, jnp.zeros((pad,), jnp.float32)], axis=0) if pad else t_max
 
     nb = rp // block
+    # stage-1 mode: exact always — the conservative interval variant measured
+    # SLOWER at both C=104 (shader_balls) and C=782 (soup): looser worklists
+    # cost more kernel iterations than the (R, C) entry traffic saves
     order, keys_sorted, count = _block_worklists(origin, direction, cs, tm, block)
     # Mosaic: VMEM slices must be 128-aligned in the lane dim — pad the
     # worklist width; padded keys are T_MAX so the prune count never reaches them
