@@ -52,6 +52,35 @@ def reproject(prev: jnp.ndarray, mv_xy: jnp.ndarray, bicubic: bool = False) -> j
     return filtering.sample_bilinear(prev, pos)
 
 
+def reproject_many(planes: list, mv_xy: jnp.ndarray) -> list:
+    """Reproject several history planes with ONE packed bilinear sample.
+
+    Each separate reproject costs 4 XLA gathers; packing the planes into one
+    (H, W, sum C) array first makes it 4 gathers TOTAL (the same wide-gather
+    trick as the traversal sort path — measured ~3x on the denoiser stack).
+    planes: list of (H, W) or (H, W, C); returns same-shape reprojections.
+    """
+    chans = []
+    shapes = []
+    for p in planes:
+        if p.ndim == 2:
+            chans.append(p[..., None])
+            shapes.append(None)
+        else:
+            chans.append(p)
+            shapes.append(p.shape[-1])
+    packed = jnp.concatenate(chans, axis=-1)
+    out = reproject(packed, mv_xy)
+    res = []
+    o = 0
+    for s in shapes:
+        c = 1 if s is None else s
+        sl = out[..., o:o + c]
+        res.append(sl[..., 0] if s is None else sl)
+        o += c
+    return res
+
+
 def in_screen(mv_xy: jnp.ndarray, h: int, w: int) -> jnp.ndarray:
     """[H, W] bool: does the reprojected position land on screen?"""
     pos = pixel_positions(h, w) + mv_xy

@@ -136,11 +136,10 @@ def denoise(hist: ReblurHistory, illum, hitdist, view_z, normal, roughness, mv,
 
     # ---- temporal accumulation ----
     prev_illum = common.reproject(hist.illum, mv_xy, bicubic=True)
-    prev_fast = common.reproject(hist.fast_illum, mv_xy)
-    prev_hd = common.reproject(hist.hitdist[..., None], mv_xy)[..., 0]
-    prev_z = common.reproject(hist.view_z[..., None], mv_xy)[..., 0]
-    prev_n = common.reproject(hist.normal, mv_xy)
-    prev_frames = common.reproject(hist.frames[..., None], mv_xy)[..., 0]
+    prev_fast, prev_hd, prev_z, prev_n, prev_frames = common.reproject_many(
+        [hist.fast_illum, hist.hitdist, hist.view_z, hist.normal, hist.frames],
+        mv_xy,
+    )
 
     valid = common.disocclusion_weight(
         view_z, mv[..., 2], prev_z, normal, prev_n, s.disocclusion_threshold

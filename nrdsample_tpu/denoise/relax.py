@@ -64,11 +64,9 @@ def temporal_accumulate(hist: RelaxHistory, illum, view_z, normal, mv,
     """Step 1: reproject + accumulate illumination and moments."""
     h, w = view_z.shape
     mv_xy = mv[..., :2]
-    prev_illum = common.reproject(hist.illum, mv_xy)
-    prev_moments = common.reproject(hist.moments, mv_xy)
-    prev_z = common.reproject(hist.view_z[..., None], mv_xy)[..., 0]
-    prev_n = common.reproject(hist.normal, mv_xy)
-    prev_frames = common.reproject(hist.frames[..., None], mv_xy)[..., 0]
+    prev_illum, prev_moments, prev_z, prev_n, prev_frames = common.reproject_many(
+        [hist.illum, hist.moments, hist.view_z, hist.normal, hist.frames], mv_xy
+    )
 
     valid = common.disocclusion_weight(
         view_z, mv[..., 2], prev_z, normal, prev_n, s.disocclusion_threshold

@@ -91,8 +91,7 @@ def denoise(hist: SigmaHistory, shadow, shadow_hit_dist, view_z, mv,
 
     # temporal accumulation (short)
     mv_xy = mv[..., :2]
-    prev = common.reproject(hist.shadow[..., None], mv_xy)[..., 0]
-    prev_frames = common.reproject(hist.frames[..., None], mv_xy)[..., 0]
+    prev, prev_frames = common.reproject_many([hist.shadow, hist.frames], mv_xy)
     valid = common.in_screen(mv_xy, h, w).astype(view_z.dtype)
     valid = jnp.where(reset, 0.0, valid)
     frames = jnp.minimum(prev_frames * valid + 1.0, s.max_accumulated_frames)

@@ -179,16 +179,22 @@ def trace_transparent(ctxs: traversal.SceneContexts, scene: Scene, cam: Camera,
         settings.emission_intensity,
     )
 
-    refl = _delta_chain(
-        ctxs, scene, cfg, settings, frame, pixel_idx, origin, direction,
-        glass, jnp.ones_like(glass), props, sun_dir, tan_sun, unproject, cam,
-        sharc_state,
+    # BOTH delta chains (reflection + refraction, TraceTransparent.cs.hlsl:
+    # 37-169) in ONE batched wavefront: chain id selects the first event; the
+    # per-bounce traversal launches then cover 2N rays each instead of
+    # launching the whole chain twice (halves the glass-pass launch count)
+    def cat(a):
+        return jnp.concatenate([a, a], axis=0)
+
+    props2 = {k: cat(v) for k, v in props.items()}
+    both = _delta_chain(
+        ctxs, scene, cfg, settings, frame,
+        jnp.concatenate([pixel_idx, pixel_idx + cfg.n_pixels], axis=0),
+        cat(origin), cat(direction), cat(glass),
+        jnp.concatenate([jnp.ones_like(glass), jnp.zeros_like(glass)], axis=0),
+        props2, sun_dir, tan_sun, unproject, cam, sharc_state,
     )
-    refr = _delta_chain(
-        ctxs, scene, cfg, settings, frame, pixel_idx, origin, direction,
-        glass, jnp.zeros_like(glass), props, sun_dir, tan_sun, unproject, cam,
-        sharc_state,
-    )
-    glass_color = refl + refr
+    n_px = glass.shape[0]
+    glass_color = both[:n_px] + both[n_px:]
     out = jnp.where(glass[..., None], glass_color, composed)
     return out, glass
