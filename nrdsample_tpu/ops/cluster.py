@@ -34,6 +34,7 @@ from nrdsample_tpu.ops import intersect
 
 CLUSTER_SIZE = 128  # one full TPU lane row per cluster plane (packet kernel)
 SLAB_ROWS = 16      # 9 component planes + padding, 8-sublane aligned stride
+SUPER_SIZE = 8      # clusters per supercluster (stage-1 hierarchy level)
 T_MAX = intersect.T_MAX
 
 
@@ -53,6 +54,10 @@ class ClusterSet:
     # p0x p0y p0z e1x e1y e1z e2x e2y e2z. ONE dynamic slice fetches a whole
     # cluster (vs 9 unaligned slices over separate tables)
     slab: jnp.ndarray
+    # supercluster AABBs over SUPER_SIZE consecutive (BVH-ordered) clusters:
+    # the stage-1 hierarchy level — per-ray entry tests run on these (8x fewer)
+    super_min: jnp.ndarray    # (ceil(C/SUPER_SIZE), 3)
+    super_max: jnp.ndarray
 
     @property
     def count(self) -> int:
@@ -117,27 +122,45 @@ def build_clusters(tris):
          e2_b[..., 0], e2_b[..., 1], e2_b[..., 2]]
     ):
         slab[p::SLAB_ROWS] = plane
+    spad = (-c) % SUPER_SIZE
+    cmin_p = np.concatenate([cmin, np.full((spad, 3), np.inf, np.float32)]) \
+        if spad else cmin
+    cmax_p = np.concatenate([cmax, np.full((spad, 3), -np.inf, np.float32)]) \
+        if spad else cmax
+    cs_n = (c + spad) // SUPER_SIZE
+    super_min = cmin_p.reshape(cs_n, SUPER_SIZE, 3).min(axis=1)
+    super_max = cmax_p.reshape(cs_n, SUPER_SIZE, 3).max(axis=1)
+
     cs = ClusterSet(
         jnp.asarray(cmin), jnp.asarray(cmax),
         p0_b=jnp.asarray(p0_b),
         e1_b=jnp.asarray(e1_b),
         e2_b=jnp.asarray(e2_b),
         slab=jnp.asarray(slab),
+        super_min=jnp.asarray(super_min),
+        super_max=jnp.asarray(super_max),
     )
     return cs, tris_p, order
 
 
-def _cluster_entry(o, d, cs: ClusterSet, t_max):
+def _cluster_entry(o, d, cs, t_max):
     """Dense stage 1: (R, C) cluster entry distances; INF where missed.
+
+    `cs` may be a ClusterSet or any (bounds_min, bounds_max) pair of (C, 3)
+    arrays (the supercluster level passes its own AABBs).
 
     Component-split (see intersect._mt_intersect's LAYOUT note): every op is a
     full-lane (R, C) elementwise op, no trailing 3-axis."""
+    if isinstance(cs, tuple):
+        bounds_min, bounds_max = cs
+    else:
+        bounds_min, bounds_max = cs.bounds_min, cs.bounds_max
     inv_d = 1.0 / jnp.where(jnp.abs(d) < 1e-12, jnp.where(d >= 0, 1e-12, -1e-12), d)
     tmin = None
     tmax_ = None
     for k in range(3):
-        bmin = cs.bounds_min[None, :, k]
-        bmax = cs.bounds_max[None, :, k]
+        bmin = bounds_min[None, :, k]
+        bmax = bounds_max[None, :, k]
         ok = o[:, None, k]
         ik = inv_d[:, None, k]
         t0 = (bmin - ok) * ik

@@ -196,30 +196,66 @@ def _one_packet(p, c, order_smem, keys_ref,
     tri_out[p, :] = tri_best
 
 
-def _block_worklists(origin, direction, cs: ClusterSet, t_max, block: int,
-                     exact: bool = True):
-    """Stage 1: per-packet shared cluster worklist.
-
-    Default: the exact dense (R, C) entry matrix. The cheaper
-    interval-arithmetic variant (exact=False; per-block ray bounds, (nb, C)
-    work) was MEASURED SLOWER end-to-end: its conservative worklists are
-    ~20-200%% longer (p50 3 vs 1), and the extra kernel iterations cost more
-    than the ~4 ms of stage-1 HBM traffic saved. Kept for big-C scenes where
-    the (R, C) matrix would not fit."""
+def _block_worklists(origin, direction, cs: ClusterSet, t_max, block: int):
+    """Stage 1 (flat): exact dense (R, C) entry matrix -> per-packet worklist.
+    Best for small C; _block_worklists_super is the big-scene variant.
+    (A pure per-block interval variant was measured SLOWER at both C=104 and
+    C=782: conservative keys cost more kernel iterations than they save.)"""
     r = origin.shape[0]
     c = cs.count
     nb = r // block
 
-    if exact:
-        entry = _cluster_entry(origin, direction, cs, t_max)   # (R, C)
-        entry_b = entry.reshape(nb, block, c)
-        block_near = jnp.min(entry_b, axis=1)                  # (nb, C)
-        hit = block_near < T_MAX
-        key = jnp.where(hit, block_near, T_MAX)
-        order = jnp.argsort(key, axis=1).astype(jnp.int32)
-        keys_sorted = jnp.take_along_axis(key, order, axis=1)
-        count = jnp.sum(hit, axis=1).astype(jnp.int32)
-        return order, keys_sorted, count
+    entry = _cluster_entry(origin, direction, cs, t_max)   # (R, C)
+    entry_b = entry.reshape(nb, block, c)
+    block_near = jnp.min(entry_b, axis=1)                  # (nb, C)
+    hit = block_near < T_MAX
+    key = jnp.where(hit, block_near, T_MAX)
+    order = jnp.argsort(key, axis=1).astype(jnp.int32)
+    keys_sorted = jnp.take_along_axis(key, order, axis=1)
+    count = jnp.sum(hit, axis=1).astype(jnp.int32)
+    return order, keys_sorted, count
+
+
+def _block_worklists_super(origin, direction, cs: ClusterSet, t_max, block: int):
+    """Hierarchical stage 1 for big scenes: exact per-ray entry tests run on
+    the SUPERCLUSTER level ((R, C/8) instead of (R, C)); cluster membership is
+    refined with the cheap per-block interval test; the sort key per cluster
+    is max(supercluster exact block key, cluster interval lower bound) — both
+    conservative lower bounds, so kernel t-pruning stays correct."""
+    from nrdsample_tpu.ops.cluster import SUPER_SIZE
+
+    r = origin.shape[0]
+    c = cs.count
+    nb = r // block
+
+    # exact per-ray supercluster entries, block-reduced
+    entry_s = _cluster_entry(
+        origin, direction, (cs.super_min, cs.super_max), t_max
+    )                                                           # (R, Cs)
+    cs_n = entry_s.shape[1]
+    block_near_s = jnp.min(entry_s.reshape(nb, block, cs_n), axis=1)  # (nb, Cs)
+    super_key = jnp.repeat(block_near_s, SUPER_SIZE, axis=1)[:, :c]   # (nb, C)
+
+    # cluster-level interval refinement (per-block ray bounds)
+    hit_i, lb_i, _ = _block_worklists_interval_parts(
+        origin, direction, cs, t_max, block
+    )
+
+    hit = (super_key < T_MAX) & hit_i
+    key = jnp.where(hit, jnp.maximum(super_key, lb_i), T_MAX)
+    order = jnp.argsort(key, axis=1).astype(jnp.int32)
+    keys_sorted = jnp.take_along_axis(key, order, axis=1)
+    count = jnp.sum(hit, axis=1).astype(jnp.int32)
+    return order, keys_sorted, count
+
+
+def _block_worklists_interval_parts(origin, direction, cs: ClusterSet, t_max,
+                                    block: int):
+    """Per-block interval-arithmetic cluster test; returns (hit (nb,C) bool,
+    lower-bound keys (nb,C), None)."""
+    r = origin.shape[0]
+    c = cs.count
+    nb = r // block
 
     ob = origin.reshape(nb, block, 3)
     db = direction.reshape(nb, block, 3)
@@ -259,11 +295,7 @@ def _block_worklists(origin, direction, cs: ClusterSet, t_max, block: int,
         tfar_ub = jnp.minimum(tfar_ub, hi_k)
 
     hit = (tnear_lb <= tfar_ub) & (tnear_lb < t_cap[:, None])
-    key = jnp.where(hit, jnp.maximum(tnear_lb, 0.0), T_MAX)
-    order = jnp.argsort(key, axis=1).astype(jnp.int32)         # (nb, C)
-    keys_sorted = jnp.take_along_axis(key, order, axis=1)
-    count = jnp.sum(hit, axis=1).astype(jnp.int32)             # (nb,)
-    return order, keys_sorted, count
+    return hit, jnp.maximum(tnear_lb, 0.0), None
 
 
 def vmem_table_bytes(cs: ClusterSet) -> int:
@@ -337,10 +369,18 @@ def closest_hit_packet(cs: ClusterSet, origin, direction, t_max=T_MAX,
     tm = jnp.concatenate([t_max, jnp.zeros((pad,), jnp.float32)], axis=0) if pad else t_max
 
     nb = rp // block
-    # stage-1 mode: exact always — the conservative interval variant measured
-    # SLOWER at both C=104 (shader_balls) and C=782 (soup): looser worklists
-    # cost more kernel iterations than the (R, C) entry traffic saves
-    order, keys_sorted, count = _block_worklists(origin, direction, cs, tm, block)
+    # stage-1 mode: flat exact entries whenever affordable — measured faster
+    # than every cheaper variant up to C=782 (XLA fuses the (R, C) entry math
+    # into the block-min reduction, so the matrix is never materialized). The
+    # supercluster hierarchy (exact per-ray keys at C/8 granularity +
+    # per-block interval refinement) is the FEASIBILITY path for Bistro-scale
+    # C in the thousands
+    if cs.count <= 2048:
+        order, keys_sorted, count = _block_worklists(origin, direction, cs, tm, block)
+    else:
+        order, keys_sorted, count = _block_worklists_super(
+            origin, direction, cs, tm, block
+        )
     # Mosaic: VMEM slices must be 128-aligned in the lane dim — pad the
     # worklist width; padded keys are T_MAX so the prune count never reaches them
     cpad = (-cs.count) % 128

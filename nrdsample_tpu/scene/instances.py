@@ -177,11 +177,25 @@ def refit_context(ctx, world_scene: Scene):
         hi = jnp.maximum(jnp.maximum(p0b, p1b), p2b)
         lo = jnp.where(degenerate, big, lo)
         hi = jnp.where(degenerate, -big, hi)
+        from nrdsample_tpu.ops.cluster import SUPER_SIZE
+
+        bmin = jnp.min(lo, axis=1)
+        bmax = jnp.max(hi, axis=1)
+        spad = (-c) % SUPER_SIZE
+        bmin_p = jnp.concatenate(
+            [bmin, jnp.full((spad, 3), 3.0e37, bmin.dtype)]
+        ) if spad else bmin
+        bmax_p = jnp.concatenate(
+            [bmax, jnp.full((spad, 3), -3.0e37, bmax.dtype)]
+        ) if spad else bmax
+        cs_n = (c + spad) // SUPER_SIZE
         new_cs = dataclasses.replace(
             cs,
-            bounds_min=jnp.min(lo, axis=1),
-            bounds_max=jnp.max(hi, axis=1),
+            bounds_min=bmin,
+            bounds_max=bmax,
             p0_b=p0b, e1_b=e1b, e2_b=e2b, slab=slab,
+            super_min=bmin_p.reshape(cs_n, SUPER_SIZE, 3).min(axis=1),
+            super_max=bmax_p.reshape(cs_n, SUPER_SIZE, 3).max(axis=1),
         )
         new_ctx = trav.TraceContext(tr, "cluster", clusters=new_cs)
         new_ctx.order = getattr(ctx, "order", None)

@@ -5,7 +5,7 @@ from nrdsample_tpu.ops import traversal, packet
 from nrdsample_tpu.scene.types import look_at
 from nrdsample_tpu.scene import camera as cam_mod
 
-scene = procedural.random_soup(100_000)
+import sys as _s; scene = procedural.random_soup(int(_s.argv[1]) if len(_s.argv)>1 else 100_000)
 t0=time.time()
 ctx, scene = traversal.build_context(scene)
 print('ctx build', f'{time.time()-t0:.1f}s', 'clusters', ctx.clusters.count,
@@ -16,7 +16,9 @@ pix = jnp.arange(W*H, dtype=jnp.int32)
 o, d, _ = cam_mod.camera_rays(cam, W, H, pix, jnp.int32(0))
 R = W*H
 
-order, keys, count = packet._block_worklists(o, d, ctx.clusters, jnp.full((R,),1e5,jnp.float32), 256)
+wl = (packet._block_worklists if ctx.clusters.count <= 2048
+      else packet._block_worklists_super)
+order, keys, count = wl(o, d, ctx.clusters, jnp.full((R,),1e5,jnp.float32), 256)
 c = np.asarray(count)
 print(f'worklists b256: mean {c.mean():.1f} p50 {np.percentile(c,50):.0f} p95 {np.percentile(c,95):.0f} max {c.max()}', flush=True)
 
