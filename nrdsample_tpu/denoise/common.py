@@ -52,6 +52,26 @@ def reproject(prev: jnp.ndarray, mv_xy: jnp.ndarray, bicubic: bool = False) -> j
     return filtering.sample_bilinear(prev, pos)
 
 
+def anti_firefly(img: jnp.ndarray) -> jnp.ndarray:
+    """RCRS-style outlier clamp (NRD's enableAntiFirefly): clamp each pixel's
+    luminance to the [min, max] of its 8 neighbors, preserving chroma. A
+    single 10^4x firefly is pulled to the neighborhood ceiling instead of
+    bleeding a bright blob through the spatial filters."""
+    lum = luminance(img)
+    nmin = None
+    nmax = None
+    for dy in (-1, 0, 1):
+        for dx in (-1, 0, 1):
+            if dy == 0 and dx == 0:
+                continue
+            ln = shifted(lum, dy, dx)
+            nmin = ln if nmin is None else jnp.minimum(nmin, ln)
+            nmax = ln if nmax is None else jnp.maximum(nmax, ln)
+    clamped = jnp.clip(lum, nmin, nmax)
+    scale = clamped / jnp.maximum(lum, 1e-9)
+    return img * scale[..., None]
+
+
 def reproject_many(planes: list, mv_xy: jnp.ndarray) -> list:
     """Reproject several history planes with ONE packed bilinear sample.
 

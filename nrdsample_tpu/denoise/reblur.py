@@ -60,6 +60,7 @@ class ReblurSettings:
     min_blur_radius_px: float = 1.0
     disocclusion_threshold: float = 0.02
     anti_lag_sigma: float = 2.0
+    enable_anti_firefly: bool = True
     phi_normal: float = 64.0
     phi_depth: float = 1.0
 
@@ -133,6 +134,8 @@ def denoise(hist: ReblurHistory, illum, hitdist, view_z, normal, roughness, mv,
     confidence: optional (H, W) [0,1] history-confidence plane."""
     h, w = view_z.shape
     mv_xy = mv[..., :2]
+    if s.enable_anti_firefly:
+        illum = common.anti_firefly(illum)
 
     # ---- temporal accumulation ----
     prev_illum = common.reproject(hist.illum, mv_xy, bicubic=True)

@@ -53,6 +53,7 @@ class RelaxSettings:
 
     max_accumulated_frames: int = 30
     atrous_iterations: int = 5
+    enable_anti_firefly: bool = True
     phi_luminance: float = 4.0
     phi_normal: float = 64.0
     phi_depth: float = 1.0
@@ -158,6 +159,8 @@ def denoise(hist: RelaxHistory, illum, view_z, normal, mv,
     illum: (H, W, 3) demodulated radiance; returns (denoised, new history).
     confidence: optional (H, W) [0,1] history-confidence plane.
     """
+    if s.enable_anti_firefly:
+        illum = common.anti_firefly(illum)
     acc_illum, acc_moments, frames, new_hist = temporal_accumulate(
         hist, illum, view_z, normal, mv, s, reset, confidence
     )

@@ -3,6 +3,7 @@ disocclusion response, not bit-exactness)."""
 
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from nrdsample_tpu.denoise import common, reblur, relax, sigma, taa
 from nrdsample_tpu.mathlib import rng
@@ -139,3 +140,20 @@ class TestCommon:
         np.testing.assert_allclose(
             np.asarray(out[5, 10, 0]), np.asarray(img[5, 11, 0]), atol=1e-4
         )
+
+
+def test_anti_firefly_clamps_outlier():
+    """NRD enableAntiFirefly parity: a 1e4x spike is pulled to the
+    neighborhood ceiling; smooth regions pass through unchanged."""
+    from nrdsample_tpu.denoise import common as dn_common
+
+    img = np.full((16, 16, 3), 0.2, np.float32)
+    img[8, 8] = 2000.0
+    out = np.asarray(dn_common.anti_firefly(jnp.asarray(img)))
+    assert out[8, 8, 0] <= 0.2 + 1e-5          # clamped to neighbors
+    np.testing.assert_allclose(out[2:6, 2:6], 0.2, atol=1e-6)  # flat preserved
+    # an actual edge (legitimate contrast) survives within neighbor range
+    img2 = np.full((8, 8, 3), 0.1, np.float32)
+    img2[:, 4:] = 1.0
+    out2 = np.asarray(dn_common.anti_firefly(jnp.asarray(img2)))
+    assert out2[4, 6, 0] == pytest.approx(1.0, abs=1e-5)
