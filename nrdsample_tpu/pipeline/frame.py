@@ -314,8 +314,16 @@ def render_frame(ctx: traversal.TraceContext, scene: Scene, cam: Camera,
     # ---- TAA (NRDSample.cpp:4339-4358) ----
     if cfg.use_taa and history.taa is not None:
         taa_in = img(composed * settings.exposure * 1e-2)
+        # wide (5x5) neighborhood clamp for sky/hair/glass pixels — the
+        # negative-TAA-mask surfaces of Taa.cs.hlsl:77
+        from nrdsample_tpu import config as cfgmod3
+
+        wide = gb["miss"] | (
+            (gb["flags"] & (cfgmod3.FLAG_HAIR | cfgmod3.FLAG_TRANSPARENT)) > 0
+        )
         taa_out, new_taa = taa.apply(
-            history.taa, taa_in, img(gb["mv"]), img(gb["view_z"]), reset=reset_history
+            history.taa, taa_in, img(gb["mv"]), img(gb["view_z"]),
+            wide_mask=img(wide), reset=reset_history,
         )
         final = flat(taa_out)
         new_h["taa"] = new_taa

@@ -602,6 +602,7 @@ def trace_opaque(ctx: traversal.TraceContext, scene: Scene, cam: Camera,
         "primary_t": props["t"],
         "uv": uv,
         "tri": props["tri"],
+        "flags": props["flags"],
         "curvature": props["curvature"],
         "mip": props.get("mip"),
         "l_psr": l_psr,
