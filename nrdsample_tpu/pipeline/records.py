@@ -27,8 +27,14 @@ RECORD_VERSION = 1
 
 # Curated watch lists (NRDSample.cpp:58-79 analogue): indices into a scene's
 # record file that are regression-sensitive or known-weak.
-CHECK_ME: dict[str, list[int]] = {"cornellbox": [0], "kitchen": [0]}
-IMPROVE_ME: dict[str, dict[str, list[int]]] = {"reblur": {}, "relax": {}}
+CHECK_ME: dict[str, list[int]] = {
+    "cornellbox": [0], "kitchen": [0], "shaderballs": [0, 3],
+    "interior-night": [0],
+}
+IMPROVE_ME: dict[str, dict[str, list[int]]] = {
+    "reblur": {"interior-night": [2]},   # low-emission record: slow converge
+    "relax": {"shaderballs": [5]},       # high roughness-override record
+}
 
 
 def record_to_dict(settings: Settings, cam: Camera) -> dict:

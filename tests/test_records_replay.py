@@ -17,7 +17,13 @@ from nrdsample_tpu.scene import procedural
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 RES = 32
 
-SCENES = {"cornellbox": procedural.cornell_box, "kitchen": procedural.kitchen}
+SCENES = {
+    "cornellbox": procedural.cornell_box,
+    "kitchen": procedural.kitchen,
+    "shaderballs": lambda: procedural.shader_balls(grid=2, sphere_res=12),
+    "interior-night": lambda: procedural.interior_night(n_lights=8, grid=2,
+                                                        sphere_res=10),
+}
 
 
 def _record_ids():
