@@ -190,14 +190,22 @@ def cmd_animate(args) -> int:
 
     from functools import partial
 
-    @partial(jax.jit, donate_argnums=(1,))
-    def frame_fn(t, history):
-        # animate -> transform -> refit -> render, all in one jitted program
-        m = animation.orbit_transforms(pool, t)
-        m_full = jnp.concatenate([instances.identity_transforms(1), m], axis=0)
-        world = instances.transform_scene(inst, m_full)
+    @partial(jax.jit, donate_argnums=(2,))
+    def frame_fn(t, t_prev, history):
+        # animate -> transform -> refit -> render, all in one jitted program;
+        # prev transforms feed the worldToWorldPrev motion-vector path
+        def transforms(tt):
+            m = animation.orbit_transforms(pool, tt)
+            return jnp.concatenate([instances.identity_transforms(1), m], axis=0)
+
+        m_curr = transforms(t)
+        m_prev = transforms(t_prev)
+        world = instances.transform_scene(inst, m_curr)
         ctx2 = instances.refit_context(ctx, world)
-        return frame_mod.render_frame(ctx2, world, cam, cfg, settings, history)
+        return frame_mod.render_frame(
+            ctx2, world, cam, cfg, settings, history,
+            dynamics=(inst, m_curr, m_prev),
+        )
 
     hist = frame_mod.History.create(cfg)
     import time as _time
@@ -205,7 +213,8 @@ def cmd_animate(args) -> int:
     t0 = _time.perf_counter()
     out = None
     for f in range(args.frames):
-        out, hist = frame_fn(jnp.float32(f / 24.0), hist)
+        t = f / 24.0
+        out, hist = frame_fn(jnp.float32(t), jnp.float32(max(t - 1 / 24.0, 0.0)), hist)
     jax.block_until_ready(out["final"])
     dt = _time.perf_counter() - t0
     print(f"{args.frames} animated frames in {dt:.2f}s "

@@ -196,6 +196,138 @@ def _one_packet(p, c, order_smem, keys_ref,
     tri_out[p, :] = tri_best
 
 
+def _packet_kernel_stream(order_hbm, keys_ref,
+                          ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
+                          tmax_ref, slab_hbm,
+                          t_out, tri_out,
+                          order_smem, dma_sem, slab_scr, slab_sem,
+                          any_hit: bool):
+    """HBM-streaming variant: the slab table stays in HBM; each packet's
+    worklist is walked in UNROLL-cluster groups that are DOUBLE-BUFFERED into
+    VMEM scratch with async DMA — the fetch of group i+1 hides behind the
+    intersect math of group i, and the VMEM scene-size ceiling disappears
+    (resident kernel caps at ~300k tris; this streams Bistro-scale tables).
+    Matches the traversal role of RaytracingShared.hlsli:314-421 at
+    README.md:7 scene scale."""
+    from nrdsample_tpu.ops.cluster import SLAB_ROWS
+
+    c = keys_ref.shape[1]
+    step = pl.program_id(0)
+    dma = pltpu.make_async_copy(
+        order_hbm.at[pl.ds(step * PACKETS_PER_STEP, PACKETS_PER_STEP), :],
+        order_smem,
+        dma_sem,
+    )
+    dma.start()
+    dma.wait()
+
+    for p in range(PACKETS_PER_STEP):
+        _one_packet_stream(
+            p, c, order_smem, keys_ref, ox_ref, oy_ref, oz_ref, dx_ref,
+            dy_ref, dz_ref, tmax_ref, slab_hbm, slab_scr, slab_sem,
+            t_out, tri_out, any_hit, SLAB_ROWS,
+        )
+
+
+def _one_packet_stream(p, c, order_smem, keys_ref,
+                       ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
+                       tmax_ref, slab_hbm, slab_scr, slab_sem,
+                       t_out, tri_out, any_hit: bool, slab_rows: int):
+    """One packet's traversal with double-buffered slab streaming.
+
+    DMA invariant: at every `cond` evaluation for group index i, the DMAs for
+    group i have been STARTED and nothing else is in flight; the body starts
+    group i+G into the other slot before waiting on group i, and the in-flight
+    group at loop exit is drained after the while_loop."""
+    G = UNROLL
+    ox = ox_ref[p, :][:, None]
+    oy = oy_ref[p, :][:, None]
+    oz = oz_ref[p, :][:, None]
+    dx = dx_ref[p, :][:, None]
+    dy = dy_ref[p, :][:, None]
+    dz = dz_ref[p, :][:, None]
+
+    t0 = tmax_ref[p, :]
+    keys_row = keys_ref[p, :]
+
+    def group_dma(i, slot, j):
+        cid = order_smem[p, jnp.minimum(i + j, c - 1)]
+        return pltpu.make_async_copy(
+            slab_hbm.at[pl.ds(cid * slab_rows, slab_rows), :],
+            slab_scr.at[pl.ds((slot * G + j) * slab_rows, slab_rows), :],
+            slab_sem.at[slot, j],
+        )
+
+    def start_group(i, slot):
+        for j in range(G):
+            group_dma(i, slot, j).start()
+
+    def wait_group(i, slot):
+        for j in range(G):
+            group_dma(i, slot, j).wait()
+
+    start_group(jnp.int32(0), jnp.int32(0))
+    init = (
+        jnp.int32(0),
+        t0,
+        jnp.full(t0.shape, -1, jnp.int32),
+    )
+
+    def cond(state):
+        i, t_best, _ = state
+        prune_count = jnp.sum((keys_row < jnp.max(t_best)).astype(jnp.int32))
+        if any_hit:
+            undone = jnp.any(t_best >= tmax_ref[p, :])
+            return (i < prune_count) & undone
+        return i < prune_count
+
+    def body(state):
+        i, t_best, tri_best = state
+        slot = (i // G) % 2
+        start_group(i + G, 1 - slot)
+        wait_group(i, slot)
+        base = slot * G * slab_rows
+
+        def test(off):
+            blk = slab_scr[pl.ds(pl.multiple_of(off, slab_rows), slab_rows), :]
+            t, u, v, hit = _mt_block(
+                ox, oy, oz, dx, dy, dz,
+                blk[0:1, :], blk[1:2, :], blk[2:3, :],
+                blk[3:4, :], blk[4:5, :], blk[5:6, :],
+                blk[6:7, :], blk[7:8, :], blk[8:9, :],
+            )
+            return jnp.where(hit, t, T_MAX)
+
+        cid0 = order_smem[p, jnp.minimum(i, c - 1)]
+        t = test(base)
+        cid_plane = jnp.broadcast_to(cid0, t.shape)
+        for j in range(1, G):
+            cid_j = order_smem[p, jnp.minimum(i + j, c - 1)]
+            t_j = test(base + j * slab_rows)
+            take = t_j < t
+            cid_plane = jnp.where(take, cid_j, cid_plane)
+            t = jnp.where(take, t_j, t)
+
+        t = jnp.where(t < t_best[:, None], t, T_MAX)
+        k = t.shape[1]
+        idxs = jax.lax.broadcasted_iota(jnp.int32, t.shape, 1)
+        tmin = jnp.min(t, axis=-1)
+        is_min = t <= tmin[:, None]
+        kmin = jnp.min(jnp.where(is_min, idxs, k), axis=-1)
+        sel = idxs == kmin[:, None]
+        cid_win = jnp.max(jnp.where(sel, cid_plane, 0), axis=-1)
+        closer = tmin < t_best
+        t_best = jnp.where(closer, tmin, t_best)
+        tri_best = jnp.where(closer, cid_win * CLUSTER_SIZE + kmin, tri_best)
+        return i + G, t_best, tri_best
+
+    i_end, t_best, tri_best = jax.lax.while_loop(cond, body, init)
+    # drain the group left in flight (started for i_end, never consumed)
+    wait_group(i_end, (i_end // G) % 2)
+    t_out[p, :] = t_best
+    tri_out[p, :] = tri_best
+
+
 def _block_worklists(origin, direction, cs: ClusterSet, t_max, block: int):
     """Stage 1 (flat): exact dense (R, C) entry matrix -> per-packet worklist.
     Best for small C; _block_worklists_super is the big-scene variant.
@@ -329,13 +461,20 @@ def _morton_sort_keys(origin, direction, cs: ClusterSet):
 
 def closest_hit_packet(cs: ClusterSet, origin, direction, t_max=T_MAX,
                        block: int = BLOCK_RAYS, interpret: bool = False,
-                       sort: bool = False):
+                       sort: bool = False, stream: bool | None = None):
     """Packet-traversal closest hit: origin/direction (R, 3), R % block == 0
     after padding (handled here). Returns dict(t, u, v, tri).
 
     sort=True re-bins rays by (direction octant, origin morton) before
     packetization and scatters results back — use for divergent bounce/shadow
-    wavefronts; primary rays are already screen-coherent."""
+    wavefronts; primary rays are already screen-coherent.
+
+    stream selects the HBM-streaming double-buffered kernel (None = auto: used
+    when the slab table exceeds the VMEM-resident budget)."""
+    if stream is None:
+        from nrdsample_tpu.ops.traversal import PACKET_VMEM_LIMIT
+
+        stream = vmem_table_bytes(cs) > PACKET_VMEM_LIMIT
     if sort:
         key = _morton_sort_keys(
             jax.lax.stop_gradient(origin), jax.lax.stop_gradient(direction), cs
@@ -349,7 +488,7 @@ def closest_hit_packet(cs: ClusterSet, origin, direction, t_max=T_MAX,
         )[perm]
         res = closest_hit_packet(
             cs, packed[:, 0:3], packed[:, 3:6], packed[:, 6],
-            block, interpret, sort=False,
+            block, interpret, sort=False, stream=stream,
         )
         inv = jnp.argsort(perm)
         out_f = jnp.stack([res["t"], res["u"], res["v"]], axis=1)[inv]
@@ -404,28 +543,52 @@ def closest_hit_packet(cs: ClusterSet, origin, direction, t_max=T_MAX,
         tuple(cs.slab.shape), lambda i: (0, 0), memory_space=pltpu.VMEM
     )
 
-    kernel = functools.partial(_packet_kernel, any_hit=False)
     out_shape = [
         jax.ShapeDtypeStruct((nb, block), jnp.float32),
         jax.ShapeDtypeStruct((nb, block), jnp.int32),
     ]
-    t, tri = pl.pallas_call(
-        kernel,
-        grid=(nb // pps,),
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),   # order: HBM, DMA'd to SMEM
-            wl_spec,   # keys
-            *([row_spec] * 7),   # ox..dz, tmax
-            slab_spec,
-        ],
-        out_specs=[row_spec] * 2,
-        out_shape=out_shape,
-        scratch_shapes=[
-            pltpu.SMEM((pps, c), jnp.int32),
-            pltpu.SemaphoreType.DMA,
-        ],
-        interpret=interpret,
-    )(order, keys_sorted, *o_c, *d_c, tmb, cs.slab)
+    if stream:
+        from nrdsample_tpu.ops.cluster import SLAB_ROWS
+
+        kernel = functools.partial(_packet_kernel_stream, any_hit=False)
+        t, tri = pl.pallas_call(
+            kernel,
+            grid=(nb // pps,),
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.ANY),   # order: HBM -> SMEM
+                wl_spec,   # keys
+                *([row_spec] * 7),   # ox..dz, tmax
+                pl.BlockSpec(memory_space=pltpu.ANY),   # slab stays in HBM
+            ],
+            out_specs=[row_spec] * 2,
+            out_shape=out_shape,
+            scratch_shapes=[
+                pltpu.SMEM((pps, c), jnp.int32),
+                pltpu.SemaphoreType.DMA,
+                pltpu.VMEM((2 * UNROLL * SLAB_ROWS, CLUSTER_SIZE), jnp.float32),
+                pltpu.SemaphoreType.DMA((2, UNROLL)),
+            ],
+            interpret=interpret,
+        )(order, keys_sorted, *o_c, *d_c, tmb, cs.slab)
+    else:
+        kernel = functools.partial(_packet_kernel, any_hit=False)
+        t, tri = pl.pallas_call(
+            kernel,
+            grid=(nb // pps,),
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.ANY),   # order: HBM, DMA'd to SMEM
+                wl_spec,   # keys
+                *([row_spec] * 7),   # ox..dz, tmax
+                slab_spec,
+            ],
+            out_specs=[row_spec] * 2,
+            out_shape=out_shape,
+            scratch_shapes=[
+                pltpu.SMEM((pps, c), jnp.int32),
+                pltpu.SemaphoreType.DMA,
+            ],
+            interpret=interpret,
+        )(order, keys_sorted, *o_c, *d_c, tmb, cs.slab)
 
     t = t.reshape(-1)[:r]
     tri = tri.reshape(-1)[:r]
@@ -453,8 +616,10 @@ def closest_hit_packet(cs: ClusterSet, origin, direction, t_max=T_MAX,
 
 def any_hit_packet(cs: ClusterSet, origin, direction, t_max,
                    block: int = BLOCK_RAYS, interpret: bool = False,
-                   sort: bool = False):
+                   sort: bool = False, stream: bool | None = None):
     """Occlusion query via the same kernel (closest-hit then compare)."""
-    res = closest_hit_packet(cs, origin, direction, t_max, block, interpret, sort)
+    res = closest_hit_packet(
+        cs, origin, direction, t_max, block, interpret, sort, stream
+    )
     t_max = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), origin.shape[:1])
     return (res["tri"] >= 0) & (res["t"] < t_max)

@@ -289,13 +289,13 @@ def _tpu_platform() -> bool:
 
 
 def _use_packet(ctx) -> bool:
-    from nrdsample_tpu.ops import packet as packet_mod
-
     if ctx.mode != "cluster":
         return False
     if not _tpu_platform():
         return False  # Mosaic kernel is TPU-only; CPU tests use the XLA scan
-    return packet_mod.vmem_table_bytes(ctx.clusters) <= PACKET_VMEM_LIMIT
+    # no VMEM-size cutoff any more: tables beyond PACKET_VMEM_LIMIT take the
+    # HBM-streaming double-buffered kernel (packet._packet_kernel_stream)
+    return True
 
 
 def closest_hit(ctx: TraceContext, origin, direction, t_max=T_MAX,
@@ -464,6 +464,20 @@ def closest_hit_alpha(ctx: TraceContext, scene, origin, direction,
     # report t from the ORIGINAL origin
     res = dict(res, t=jnp.where(res["tri"] >= 0, res["t"] + offset, res["t"]))
     return res
+
+
+def any_hit_t(ctx: TraceContext, origin, direction, t_max,
+              coherent: bool = False):
+    """Occlusion query that ALSO returns the closest-blocker distance.
+
+    Returns (blocked [R] bool, t [R] f32; t is T_MAX where unblocked). The
+    SIGMA penumbra estimate needs the shadow ray's hitT (the reference packs it
+    in TraceOpaque.cs.hlsl:767-804) — and on the packet path this is free:
+    any_hit_packet already runs the closest-hit kernel and discards t."""
+    t_max_arr = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), origin.shape[:1])
+    res = closest_hit(ctx, origin, direction, t_max_arr, coherent=coherent)
+    blocked = (res["tri"] >= 0) & (res["t"] < t_max_arr)
+    return blocked, jnp.where(blocked, res["t"], T_MAX)
 
 
 def any_hit(ctx: TraceContext, origin, direction, t_max, coherent: bool = False):

@@ -357,7 +357,7 @@ def trace_paths(ctx: traversal.TraceContext, scene: Scene, cam: Camera,
             "diff_hitdist": diff_hitdist, "spec_hitdist": spec_hitdist,
             "diff_factor": diff_factor0, "spec_factor": spec_factor0,
             "diff_dir": diff_dir, "spec_dir": spec_dir,
-            "primary_shadow": None,
+            "primary_shadow": None, "primary_shadow_hitdist": None,
         }
     origins = jnp.concatenate(
         [r["sxo"] for r in all_recs] + [e[0] for e in extra], axis=0
@@ -365,7 +365,7 @@ def trace_paths(ctx: traversal.TraceContext, scene: Scene, cam: Camera,
     dirs = jnp.concatenate(
         [r["sdir"] for r in all_recs] + [e[1] for e in extra], axis=0
     )
-    blocked = traversal.any_hit(
+    blocked, hit_t = traversal.any_hit_t(
         ctx, origins, dirs, jnp.full((origins.shape[0],), traversal.T_MAX),
         coherent=False,
     )
@@ -375,6 +375,14 @@ def trace_paths(ctx: traversal.TraceContext, scene: Scene, cam: Camera,
         settings.disable_shadows > 0, 1.0, 1.0 - blocked.astype(f32)
     )
     primary_shadow_vis = vis[len(all_recs) * n_px:] if extra else None
+    # closest-blocker distance of the primary sun-shadow ray — the SIGMA
+    # penumbra estimate (TraceOpaque.cs.hlsl:767-804); 0 where unblocked
+    primary_shadow_hitt = None
+    if extra:
+        seg = slice(len(all_recs) * n_px, None)
+        primary_shadow_hitt = jnp.where(
+            blocked[seg], hit_t[seg], 0.0
+        ).astype(f32)
 
     # ---- replay: select contribs by visibility, rebuild the accumulation ----
     rec_i = 0
@@ -431,6 +439,7 @@ def trace_paths(ctx: traversal.TraceContext, scene: Scene, cam: Camera,
         "diff_dir": diff_dir * diff_norm[..., None],
         "spec_dir": spec_dir * spec_norm[..., None],
         "primary_shadow": primary_shadow_vis,
+        "primary_shadow_hitdist": primary_shadow_hitt,
     }
 
 
@@ -497,7 +506,7 @@ def psr_walk(ctx, scene, cfg, settings, frame, pixel_idx, props, view_z, cam,
 def trace_opaque(ctx: traversal.TraceContext, scene: Scene, cam: Camera,
                  cfg: RenderConfig, settings: Settings, frame,
                  pixel_idx: jnp.ndarray | None = None, sharc_state=None,
-                 l1_hist=None):
+                 l1_hist=None, dynamics=None):
     """Full TraceOpaque pass: primary ray + G-buffer + indirect path loop.
 
     Mirrors TraceOpaque.cs.hlsl `main` (521-805): primary cast, G-buffer writes,
@@ -506,6 +515,12 @@ def trace_opaque(ctx: traversal.TraceContext, scene: Scene, cam: Camera,
 
     `pixel_idx` (flat indices) lets callers shard the pixel dimension across a
     device mesh (SURVEY.md §2.4: tile/ray data-parallel sharding).
+
+    `dynamics` — optional (InstancedScene, m_curr, m_prev) with (I, 3, 4)
+    per-instance transforms: enables TRUE moving-object motion vectors via the
+    worldToWorldPrev path (Xprev = M_prev M_curr^-1 X per hit instance;
+    Source/NRDSample.cpp:3395-3630, Shaders/TraceOpaque.cs.hlsl:610-614).
+    Without it, Xprev = X (camera motion only, static scenes).
     """
     if pixel_idx is None:
         pixel_idx = jnp.arange(cfg.n_pixels, dtype=jnp.int32)
@@ -547,8 +562,16 @@ def trace_opaque(ctx: traversal.TraceContext, scene: Scene, cam: Camera,
 
     view_z = jnp.where(props["miss"], cfgmod.INF, cam_mod.world_to_view_z(cam, props["x"]))
 
-    # motion vectors: static geometry for now -> Xprev = X (camera motion only)
-    mv = cam_mod.get_motion(cam, props["x"], props["x"], cfg.width, cfg.height)
+    # motion vectors (TraceOpaque.cs.hlsl:610-614): Xprev from the hit
+    # instance's worldToWorldPrev when dynamics are provided, else Xprev = X
+    if dynamics is not None:
+        from nrdsample_tpu.scene import instances as inst_mod
+
+        inst, m_curr, m_prev = dynamics
+        x_prev = inst_mod.prev_position(inst, m_curr, m_prev, props["x"], props["tri"])
+    else:
+        x_prev = props["x"]
+    mv = cam_mod.get_motion(cam, props["x"], x_prev, cfg.width, cfg.height)
 
     # direct lighting at the primary hit: sun (unshadowed; SIGMA provides the
     # shadow at composition) + emission (TraceOpaque.cs.hlsl:663-706)
@@ -579,6 +602,11 @@ def trace_opaque(ctx: traversal.TraceContext, scene: Scene, cam: Camera,
     shadow = paths.pop("primary_shadow")
     shadow = jnp.where(props["miss"], 1.0, shadow)
     shadow = jnp.where(settings.disable_shadows > 0, 1.0, shadow)
+    # SIGMA penumbra input: closest-blocker distance along the sun-shadow ray
+    # (TraceOpaque.cs.hlsl:767-804); 0 for lit/miss/disabled pixels
+    shadow_hit_dist = paths.pop("primary_shadow_hitdist")
+    shadow_hit_dist = jnp.where(props["miss"], 0.0, shadow_hit_dist)
+    shadow_hit_dist = jnp.where(settings.disable_shadows > 0, 0.0, shadow_hit_dist)
 
     return {
         "view_z": view_z,
@@ -593,7 +621,7 @@ def trace_opaque(ctx: traversal.TraceContext, scene: Scene, cam: Camera,
         "direct_lighting": direct,
         "emission": emission,
         "shadow": shadow,
-        "shadow_hit_dist": jnp.zeros_like(shadow),
+        "shadow_hit_dist": shadow_hit_dist,
         # primary sun-visibility ray, exported so the glass-aware SIGMA
         # translucency march can reuse it (TraceOpaque.cs.hlsl:767-804)
         "shadow_ray": (p_sxo, p_sdir),

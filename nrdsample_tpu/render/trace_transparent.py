@@ -24,7 +24,11 @@ from nrdsample_tpu.render import gbuffer, lighting
 from nrdsample_tpu.scene import camera as cam_mod
 from nrdsample_tpu.scene.types import Camera, Scene
 
-GLASS_TINT = jnp.array([0.9, 0.95, 1.0])  # absorption color inside glass
+# absorption color inside glass (np constant: module import may happen inside
+# a jit trace, where a module-level jnp.array would capture the tracer context)
+import numpy as _np
+
+GLASS_TINT = _np.array([0.9, 0.95, 1.0], _np.float32)
 
 
 def _closest_hit_world(ctxs: traversal.SceneContexts, o, d, t_max=traversal.T_MAX):
@@ -42,7 +46,7 @@ def _fresnel_dielectric(cos_i, eta):
     cos_i = jnp.clip(jnp.abs(cos_i), 0.0, 1.0)
     sin2_t = (1.0 - cos_i**2) / jnp.maximum(eta**2, 1e-6)
     tir = sin2_t > 1.0
-    cos_t = jnp.sqrt(jnp.maximum(0.0, 1.0 - sin2_t))
+    cos_t = jnp.sqrt(jnp.maximum(0.0, 1.0 - sin2_t) + 1e-12)
     rs = (cos_i - eta * cos_t) / jnp.maximum(cos_i + eta * cos_t, 1e-9)
     rp = (eta * cos_i - cos_t) / jnp.maximum(eta * cos_i + cos_t, 1e-9)
     f = 0.5 * (rs * rs + rp * rp)
@@ -52,7 +56,15 @@ def _fresnel_dielectric(cos_i, eta):
 def _delta_chain(ctxs, scene, cfg: RenderConfig, settings, frame, pixel_idx,
                  origin, direction, start_mask, start_is_reflection,
                  glass_props, sun_dir, tan_sun, unproject, cam, sharc_state=None):
-    """One delta chain from the first glass hit. Returns (radiance, hitT)."""
+    """One delta chain from the first glass hit. Returns radiance.
+
+    Shadow scheme: each lane ends its chain AT MOST ONCE (alive &= hit_is_glass),
+    so the end-of-chain sun visibility is deferred — the shade point is latched
+    at the ending bounce, both shadow outcomes of the radiance are accumulated
+    (rad0/rad1), and ONE batched any-hit launch after the loop selects between
+    them. This collapses delta_bounce_num traversal launches into one — the
+    same deferred-binary-shadow replay trace_opaque uses (vs the per-bounce
+    shadow of TraceTransparent.cs.hlsl:37-169 on SIMT hardware)."""
     n_px = origin.shape[0]
     f32 = cfg.dtype
     ior = scene.materials.ior[glass_props["mat"]]
@@ -61,9 +73,14 @@ def _delta_chain(ctxs, scene, cfg: RenderConfig, settings, frame, pixel_idx,
     props = glass_props
     inside = jnp.zeros((n_px,), bool)
     throughput = jnp.ones((n_px, 3), f32)
-    radiance = jnp.zeros((n_px, 3), f32)
+    rad0 = jnp.zeros((n_px, 3), f32)   # radiance if shadowed
+    rad1 = jnp.zeros((n_px, 3), f32)   # radiance if lit
     alive = start_mask
     is_reflection = start_is_reflection
+    # latched end-of-chain shade point for the deferred shadow launch
+    end_x = origin
+    end_n = jnp.broadcast_to(jnp.array([0.0, 0.0, 1.0], f32), origin.shape)
+    end_shadowable = jnp.zeros((n_px,), bool)
 
     for bounce in range(cfg.delta_bounce_num):
         dim = 700_000 + 1000 * bounce
@@ -119,24 +136,21 @@ def _delta_chain(ctxs, scene, cfg: RenderConfig, settings, frame, pixel_idx,
         hit_is_glass = (hit_flags & cfgmod.FLAG_TRANSPARENT) != 0
         hit_is_glass = hit_is_glass & jnp.logical_not(new_props["miss"])
 
-        # chain ends on a non-glass hit or miss: shade with the cascade
+        # chain ends on a non-glass hit or miss: shade with the cascade,
+        # computed for BOTH shadow outcomes (visibility resolved after the loop)
         ended = alive & jnp.logical_not(hit_is_glass)
         direct = lighting.direct_sun_lighting(
             new_props["n"], new_props["v"], new_props["base_color"],
             new_props["metalness"], new_props["roughness"], sun_dir, tan_sun,
             cfg.use_white_furnace,
         )
-        vz = cam_mod.world_to_view_z(cam, new_props["x"])
-        shadow = lighting.sun_shadow_ray(
-            ctxs.opaque, new_props["x"], new_props["n_geom"], sun_dir, tan_sun,
-            pixel_idx, frame, unproject, vz, dim=dim + 7,
-        )
-        shadow = jnp.where(settings.disable_shadows > 0, 1.0, shadow)
-        l_end = jnp.where(
+        l_end0 = new_props["lemi"]                       # shadowed (or miss)
+        l_end1 = jnp.where(
             new_props["miss"][..., None],
             new_props["lemi"],
-            direct * shadow[..., None] + new_props["lemi"],
+            direct + new_props["lemi"],
         )
+        shadow_dep = jnp.logical_not(new_props["miss"])  # needs a shadow ray
         if sharc_state is not None:
             # radiance cascade at the chain end (TraceTransparent.cs.hlsl:94-165):
             # prefer the L2 cache (has multi-bounce light) over analytic direct
@@ -146,24 +160,40 @@ def _delta_chain(ctxs, scene, cfg: RenderConfig, settings, frame, pixel_idx,
                 sharc_state, new_props["x"], new_props["n"], cam.position
             )
             use = found & jnp.logical_not(new_props["miss"])
-            l_end = jnp.where(use[..., None], rad + new_props["lemi"], l_end)
-        radiance = radiance + jnp.where(
-            ended[..., None], throughput * l_end, 0.0
-        )
+            l_end0 = jnp.where(use[..., None], rad + new_props["lemi"], l_end0)
+            l_end1 = jnp.where(use[..., None], rad + new_props["lemi"], l_end1)
+            shadow_dep = shadow_dep & jnp.logical_not(use)
+        rad0 = rad0 + jnp.where(ended[..., None], throughput * l_end0, 0.0)
+        rad1 = rad1 + jnp.where(ended[..., None], throughput * l_end1, 0.0)
+        latch = (ended & shadow_dep)[..., None]
+        end_x = jnp.where(latch, new_props["x"], end_x)
+        end_n = jnp.where(latch, new_props["n_geom"], end_n)
+        end_shadowable = end_shadowable | (ended & shadow_dep)
         alive = alive & hit_is_glass
         props = new_props
 
-    return radiance
+    # ---- ONE deferred shadow launch for all chain ends ----
+    vz = cam_mod.world_to_view_z(cam, end_x)
+    sxo, sdir = lighting.sun_shadow_ray_params(
+        end_x, end_n, sun_dir, tan_sun, pixel_idx, frame, unproject, vz,
+        dim=700_777,
+    )
+    blocked = traversal.any_hit(
+        ctxs.opaque, sxo, sdir, jnp.full((n_px,), traversal.T_MAX),
+        coherent=False,
+    )
+    lit = jnp.logical_not(blocked) | jnp.logical_not(end_shadowable)
+    lit = lit | (settings.disable_shadows > 0)
+    return jnp.where(lit[..., None], rad1, rad0)
 
 
-def trace_transparent(ctxs: traversal.SceneContexts, scene: Scene, cam: Camera,
-                      cfg: RenderConfig, settings: Settings, frame,
-                      composed: jnp.ndarray, gb: dict, pixel_idx,
-                      sharc_state=None):
-    """Overlay glass on the composed image. Returns (color, glass_mask)."""
-    if ctxs.transparent is None:
-        return composed, jnp.zeros(composed.shape[:-1], bool)
-
+def trace_transparent_color(ctxs: traversal.SceneContexts, scene: Scene,
+                            cam: Camera, cfg: RenderConfig, settings: Settings,
+                            frame, gb: dict, pixel_idx, sharc_state=None):
+    """The traversal part of the glass pass: returns (glass_color, glass_mask)
+    without touching the composed image — callers overlay with
+    `where(mask, color, composed)`. Split out so the trace phase can run
+    sharded while the overlay happens image-side (pipeline.frame two phases)."""
     sun_dir = cfgmod.sun_direction(settings)
     tan_sun = jnp.tan(jnp.deg2rad(settings.sun_angular_diameter * 0.5))
     unproject = cam_mod.unproject_scale(cam, cfg.height)
@@ -196,5 +226,17 @@ def trace_transparent(ctxs: traversal.SceneContexts, scene: Scene, cam: Camera,
     )
     n_px = glass.shape[0]
     glass_color = both[:n_px] + both[n_px:]
-    out = jnp.where(glass[..., None], glass_color, composed)
-    return out, glass
+    return glass_color, glass
+
+
+def trace_transparent(ctxs: traversal.SceneContexts, scene: Scene, cam: Camera,
+                      cfg: RenderConfig, settings: Settings, frame,
+                      composed: jnp.ndarray, gb: dict, pixel_idx,
+                      sharc_state=None):
+    """Overlay glass on the composed image. Returns (color, glass_mask)."""
+    if ctxs.transparent is None:
+        return composed, jnp.zeros(composed.shape[:-1], bool)
+    glass_color, glass = trace_transparent_color(
+        ctxs, scene, cam, cfg, settings, frame, gb, pixel_idx, sharc_state
+    )
+    return jnp.where(glass[..., None], glass_color, composed), glass
