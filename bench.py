@@ -1,6 +1,12 @@
 """Benchmark harness: rays/s on the flagship path-tracing pipeline.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Default (driver contract): prints ONE JSON line
+{"metric", "value", "unit", "vs_baseline"} for the headline config.
+
+The staged BASELINE.md ladder (configs 1-5, CornellBox 256² → interior-night
+1440p) is selectable:
+    python bench.py --config cornell256|shaderballs512|kitchen1080|exterior720|interior1440
+    python bench.py --all        # one JSON line per config (headline last)
 
 Baseline derivation (BASELINE.md): the north-star target is >= 1 Grays/s
 aggregate on a v5p-16, i.e. 62.5 Mrays/s per chip. vs_baseline is measured
@@ -17,32 +23,110 @@ import time
 BASELINE_RAYS_PER_S_PER_CHIP = 62.5e6
 
 
-def count_rays_per_pixel(cfg, scene=None) -> int:
-    """Full-traversal rays cast per pixel per frame: primary + primary shadow +
-    rpp * bounces * (bounce ray + shadow ray). Emissive-IS light probes test
-    only the tiny emissive set, so they are not counted as traversal rays."""
-    return 2 + cfg.rpp * cfg.bounce_num * 2
+def count_rays_per_pixel(cfg, has_glass: bool = False) -> float:
+    """Full-traversal rays cast per pixel per frame.
+
+    opaque: primary + primary shadow + rpp * bounces * (bounce ray + shadow).
+    SHARC probes (1/ds² rate): primary + 4 propagation x (bounce + shadow).
+    glass: translucency march + transparent recast + 2 chains x delta bounces
+    (world casts) + the single batched 2-chain end shadow.
+    Emissive-IS light probes test only the tiny emissive set — not counted.
+    """
+    from nrdsample_tpu import config as cfgmod
+
+    rays = 2.0 + cfg.rpp * cfg.bounce_num * 2.0
+    if cfg.use_sharc:
+        rays += (1.0 + 2.0 * cfgmod.SHARC_PROPAGATION_DEPTH) / cfg.sharc_downscale**2
+    if has_glass:
+        rays += 1.0 + 1.0 + 2.0 * cfg.delta_bounce_num + 2.0
+    return rays
 
 
-def main():
+def _make_configs():
+    """The staged BASELINE.md ladder. Each entry builds (scene_fn, camera,
+    RenderConfig, Settings). Scenes are procedural stand-ins at the reference
+    scenes' scale (no glTF assets ship with the reference snapshot)."""
+    import jax.numpy as jnp
+
+    from nrdsample_tpu.config import (
+        Denoiser, NrdMode, RenderConfig, Settings, TracingMode,
+    )
+    from nrdsample_tpu.scene import procedural
+
+    def cfgbase(w, h, **kw):
+        kw.setdefault("tracing_mode", TracingMode.FULL_PROBABILISTIC)
+        return RenderConfig(width=w, height=h, **kw)
+
+    return {
+        # config 1: CornellBox 256², 1 diffuse bounce, reference accumulation
+        "cornell256": dict(
+            scene=lambda: procedural.cornell_box(),
+            cam=([0.0, -3.2, 1.0], [0.0, 0.0, 1.0], 39.0),
+            cfg=cfgbase(256, 256, rpp=1, bounce_num=1, denoiser=Denoiser.REFERENCE),
+            settings=dict(sun_elevation=-30.0, disable_shadows=1),
+        ),
+        # config 2 (headline): ShaderBalls 512², lobe split + ray cones + REBLUR
+        "shaderballs512": dict(
+            scene=lambda: procedural.shader_balls(grid=3, sphere_res=24),
+            cam=([0.0, -9.0, 4.5], [0.0, 0.0, 0.8], 50.0),
+            cfg=cfgbase(512, 512, rpp=1, bounce_num=2, denoiser=Denoiser.REFERENCE),
+            settings=dict(sun_elevation=45.0),
+        ),
+        # config 3: Kitchen 1080p, SIGMA + RELAX + SH resolve + TAA + confidence
+        "kitchen1080": dict(
+            scene=lambda: procedural.kitchen(),
+            cam=([0.0, -1.6, 1.6], [0.0, 1.5, 1.2], 65.0),
+            cfg=cfgbase(1920, 1080, rpp=1, bounce_num=1, denoiser=Denoiser.RELAX,
+                        nrd_mode=NrdMode.SH, use_taa=True, use_sharc=True,
+                        use_confidence=True),
+            settings=dict(sun_elevation=35.0),
+        ),
+        # config 4: exterior 720p, SHARC L2 + multi-bounce glass, ~1M tris
+        "exterior720": dict(
+            scene=lambda: procedural.exterior(
+                cobbles=120, tree_count=450, tree_res=28
+            ),
+            cam=([0.0, -45.0, 6.0], [0.0, 0.0, 4.0], 55.0),
+            cfg=cfgbase(1280, 720, rpp=1, bounce_num=1, denoiser=Denoiser.RELAX,
+                        use_sharc=True, use_taa=True),
+            settings=dict(sun_elevation=30.0),
+            glass=True,
+        ),
+        # config 5: interior-night 1440p, emissive IS, full denoiser stack
+        "interior1440": dict(
+            scene=lambda: procedural.interior_night(),
+            cam=([0.0, -3.5, 1.8], [0.0, 1.5, 1.2], 60.0),
+            cfg=cfgbase(2560, 1440, rpp=1, bounce_num=1, denoiser=Denoiser.RELAX,
+                        use_sharc=True, use_confidence=True, use_taa=True),
+            settings=dict(sun_elevation=-20.0),
+        ),
+    }
+
+
+def run_config(name: str, spec: dict, n_iter: int = 8) -> dict:
     import jax
     import jax.numpy as jnp
 
-    from nrdsample_tpu.config import Denoiser, RenderConfig, Settings, TracingMode
+    from nrdsample_tpu.config import Settings
     from nrdsample_tpu.ops import traversal
     from nrdsample_tpu.pipeline import frame as frame_mod
-    from nrdsample_tpu.scene import procedural
     from nrdsample_tpu.scene.types import look_at
 
-    size = 512
-    scene = procedural.shader_balls(grid=3, sphere_res=24)
-    ctx, scene = traversal.build_context(scene)
-    cam = look_at(eye=[0.0, -9.0, 4.5], target=[0.0, 0.0, 0.8], fov_y_deg=50.0)
-    cfg = RenderConfig(
-        width=size, height=size, rpp=1, bounce_num=2,
-        tracing_mode=TracingMode.FULL_PROBABILISTIC, denoiser=Denoiser.REFERENCE,
-    )
-    settings = Settings(sun_elevation=jnp.float32(45.0))
+    scene = spec["scene"]()
+    cfg = spec["cfg"]
+    has_glass = bool(spec.get("glass"))
+    if has_glass:
+        ctx, scene = traversal.build_scene_contexts(scene)
+    else:
+        ctx, scene = traversal.build_context(scene)
+    eye, target, fov = spec["cam"]
+    cam = look_at(eye=eye, target=target, fov_y_deg=fov,
+                  aspect=cfg.width / cfg.height)
+    skw = {
+        k: (jnp.int32(v) if k == "disable_shadows" else jnp.float32(v))
+        for k, v in spec["settings"].items()
+    }
+    settings = Settings(**skw)
     history = frame_mod.History.create(cfg)
 
     @jax.jit
@@ -50,19 +134,40 @@ def main():
         out, new_h = frame_mod.render_frame(ctx, scene, cam, cfg, settings, history)
         return out["color"], new_h
 
-    # warmup + compile
-    color, history = step(history)
+    color, history = step(history)  # compile + warmup
     jax.block_until_ready(color)
-
-    n_iter = 10
     t0 = time.perf_counter()
     for _ in range(n_iter):
         color, history = step(history)
     jax.block_until_ready(color)
     dt = (time.perf_counter() - t0) / n_iter
 
-    # denoise-only throughput (BASELINE "Mpix/s per chip" metric): time the
-    # RELAX stack on one signal at bench resolution
+    rays_per_frame = cfg.n_pixels * count_rays_per_pixel(cfg, has_glass)
+    rays_per_s = rays_per_frame / dt
+    return {
+        "metric": "rays_per_second_per_chip",
+        "value": rays_per_s,
+        "unit": "rays/s",
+        "vs_baseline": rays_per_s / BASELINE_RAYS_PER_S_PER_CHIP,
+        "detail": {
+            "config": name,
+            "scene_tris": int(scene.num_tris),
+            "resolution": f"{cfg.width}x{cfg.height}",
+            "rpp": cfg.rpp,
+            "bounces": cfg.bounce_num,
+            "frame_ms": dt * 1e3,
+            "rays_per_pixel": count_rays_per_pixel(cfg, has_glass),
+            "device": str(jax.devices()[0]),
+        },
+    }
+
+
+def bench_denoise(size: int = 512, n_iter: int = 10) -> dict:
+    """Denoise throughput (BASELINE "Mpix/s per chip"): the full RELAX stack on
+    one signal at bench resolution."""
+    import jax
+    import jax.numpy as jnp
+
     from nrdsample_tpu.denoise import relax
 
     h = w = size
@@ -84,30 +189,25 @@ def main():
         out_d, rh = dn(rh)
     jax.block_until_ready(out_d)
     dt_dn = (time.perf_counter() - t0) / n_iter
-    denoise_mpix_s = cfg.n_pixels / dt_dn / 1e6
+    return {"denoise_mpix_s": h * w / dt_dn / 1e6, "denoise_ms": dt_dn * 1e3}
 
-    rays_per_frame = cfg.n_pixels * count_rays_per_pixel(cfg)
-    rays_per_s = rays_per_frame / dt
-    print(
-        json.dumps(
-            {
-                "metric": "rays_per_second_per_chip",
-                "value": rays_per_s,
-                "unit": "rays/s",
-                "vs_baseline": rays_per_s / BASELINE_RAYS_PER_S_PER_CHIP,
-                "detail": {
-                    "scene": "shader_balls",
-                    "resolution": f"{size}x{size}",
-                    "rpp": cfg.rpp,
-                    "bounces": cfg.bounce_num,
-                    "frame_ms": dt * 1e3,
-                    "denoise_mpix_s": denoise_mpix_s,
-                    "tris": int(scene.num_tris),
-                    "device": str(jax.devices()[0]),
-                },
-            }
-        )
-    )
+
+def main():
+    args = sys.argv[1:]
+    configs = _make_configs()
+    if args and args[0] == "--all":
+        names = ["cornell256", "kitchen1080", "exterior720", "interior1440",
+                 "shaderballs512"]  # headline LAST (driver reads the last line)
+    elif args and args[0] == "--config":
+        names = [args[1]]
+    else:
+        names = ["shaderballs512"]
+
+    for name in names:
+        rec = run_config(name, configs[name])
+        if name == "shaderballs512":
+            rec["detail"].update(bench_denoise(512))
+        print(json.dumps(rec), flush=True)
 
 
 if __name__ == "__main__":

@@ -79,7 +79,7 @@ def debug_view(on_screen: int, gb: dict, composed: jnp.ndarray) -> jnp.ndarray:
             [jnp.mod(uv, 1.0), jnp.zeros_like(uv[..., :1])], axis=-1
         )
     if on_screen == OnScreen.CURVATURE:
-        c = jnp.sqrt(jnp.abs(gb.get("curvature", jnp.zeros_like(gb["view_z"]))))
+        c = jnp.sqrt(jnp.abs(gb.get("curvature", jnp.zeros_like(gb["view_z"]))) + 1e-12)
         return jnp.repeat(c[..., None], 3, axis=-1)
     if on_screen == OnScreen.MIP_PRIMARY:
         m = gb.get("mip", jnp.zeros_like(gb["view_z"])) / 8.0

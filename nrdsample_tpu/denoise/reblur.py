@@ -178,7 +178,7 @@ def denoise(hist: ReblurHistory, illum, hitdist, view_z, normal, roughness, mv,
         mu = mu + f_n
         mu2 = mu2 + f_n * f_n
     mu /= 9.0
-    sigma = jnp.sqrt(jnp.maximum(mu2 / 9.0 - mu * mu, 0.0))
+    sigma = jnp.sqrt(jnp.maximum(mu2 / 9.0 - mu * mu, 0.0) + 1e-12)
     clamped = jnp.clip(
         blurred, mu - sigma * s.anti_lag_sigma, mu + sigma * s.anti_lag_sigma
     )

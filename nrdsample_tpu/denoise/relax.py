@@ -121,8 +121,9 @@ def atrous_iteration(illum, variance, view_z, normal, step: int, s: RelaxSetting
     stride `step`; SVGF uses 5x5 B3, we use the 3x3x(2 iters) equivalent shape
     with powers-of-two strides)."""
     lum_c = common.luminance(illum)
+    # +eps inside sqrt: d/dx sqrt(0) = inf poisons autodiff (NaN via 0*inf)
     sigma_l = jnp.sqrt(
-        jnp.maximum(variance, 0.0)
+        jnp.maximum(variance, 0.0) + 1e-12
     ) * s.phi_luminance + 1e-4
 
     acc = jnp.zeros_like(illum)

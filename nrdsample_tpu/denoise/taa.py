@@ -61,7 +61,7 @@ def apply(hist: TaaHistory, cur: jnp.ndarray, mv: jnp.ndarray, view_z: jnp.ndarr
         mu += cn
         mu2 += cn * cn
     mu /= 9.0
-    sigma = jnp.sqrt(jnp.maximum(mu2 / 9.0 - mu * mu, 0.0))
+    sigma = jnp.sqrt(jnp.maximum(mu2 / 9.0 - mu * mu, 0.0) + 1e-12)
     if wide_mask is not None:
         mu5 = jnp.zeros_like(cur)
         mu52 = jnp.zeros_like(cur)
@@ -70,7 +70,7 @@ def apply(hist: TaaHistory, cur: jnp.ndarray, mv: jnp.ndarray, view_z: jnp.ndarr
             mu5 += cn
             mu52 += cn * cn
         mu5 /= 25.0
-        sigma5 = jnp.sqrt(jnp.maximum(mu52 / 25.0 - mu5 * mu5, 0.0))
+        sigma5 = jnp.sqrt(jnp.maximum(mu52 / 25.0 - mu5 * mu5, 0.0) + 1e-12)
         mu = jnp.where(wide_mask[..., None], mu5, mu)
         sigma = jnp.where(wide_mask[..., None], sigma5, sigma)
 

@@ -24,7 +24,12 @@ def to_gamma(c, gamma: float = 2.2):
 
 def linear_to_srgb(c: jnp.ndarray) -> jnp.ndarray:
     c = jnp.clip(c, 0.0, 1.0)
-    return jnp.where(c <= 0.0031308, 12.92 * c, 1.055 * jnp.power(c, 1.0 / 2.4) - 0.055)
+    # safe-where: pow is evaluated for ALL lanes, and d/dc c^(1/2.4) -> inf at
+    # c=0 poisons autodiff through the untaken branch (0 * inf = NaN)
+    c_safe = jnp.maximum(c, 0.0031308)
+    return jnp.where(
+        c <= 0.0031308, 12.92 * c, 1.055 * jnp.power(c_safe, 1.0 / 2.4) - 0.055
+    )
 
 
 def srgb_to_linear(c: jnp.ndarray) -> jnp.ndarray:

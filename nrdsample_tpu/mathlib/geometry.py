@@ -85,7 +85,7 @@ def refract(v: jnp.ndarray, n: jnp.ndarray, eta) -> jnp.ndarray:
     cos_i = -dot3(v, n)
     sin2_t = (eta**2) * jnp.maximum(0.0, 1.0 - cos_i**2)
     tir = sin2_t > 1.0
-    cos_t = jnp.sqrt(jnp.maximum(0.0, 1.0 - sin2_t))
+    cos_t = jnp.sqrt(jnp.maximum(0.0, 1.0 - sin2_t) + 1e-12)
     r = eta[..., None] * v + (eta * cos_i - cos_t)[..., None] * n
     return jnp.where(tir[..., None], jnp.zeros_like(r), r)
 

@@ -51,26 +51,41 @@ def pixel_specs_for(tree, n_pixels: int):
 
 
 def sharded_render_fn(ctx, cfg, mesh: Mesh):
-    """Build a shard_map'd frame function: pixels sharded, scene replicated.
+    """Two-phase sharded frame (SURVEY.md §2.4): rays shard perfectly, stencils
+    see exact halos — so the sharded frame equals the single-chip frame.
 
-    Returns fn(scene, cam, settings, history, pixel_idx) -> (color, new_history)
-    where pixel_idx and history are sharded over `px` and everything else is
-    replicated. Inside each shard the computation is the plain single-chip frame
-    — XLA ICI collectives only appear where cross-shard data is needed.
+      phase 1  trace_frame inside shard_map: each device traces its pixel rows
+               (scene/camera/SHARC/L1 replicated; the Pallas packet kernel runs
+               per device on its local rays);
+      phase 2  image_frame OUTSIDE shard_map on the global row-sharded planes:
+               GSPMD partitions the denoiser stencils and inserts the exact
+               halo collectives (reproject gathers included).
+
+    Returns fn(scene, cam, settings, history, pixel_idx) -> (outputs, history')
+    — NOT jitted; wrap in jax.jit at the call site. pixel_idx must be the full
+    jnp.arange(n_pixels) laid out with pixel_sharding(mesh) (see shard_pixels).
     """
     from nrdsample_tpu.pipeline import frame as frame_mod
 
-    def local_frame(scene, cam, settings, history, pixel_idx):
-        out, new_h = frame_mod.render_frame(
-            ctx, scene, cam, cfg, settings, history, pixel_idx=pixel_idx
+    def trace_local(scene, cam, settings, sharc, l1, frame_index, pixel_idx):
+        h = frame_mod.History(frame_index=frame_index, sharc=sharc, l1=l1)
+        return frame_mod.trace_frame(
+            ctx, scene, cam, cfg, settings, h, pixel_idx=pixel_idx
         )
-        return out["color"], new_h
 
-    hist_spec = pixel_specs_for(frame_mod.History.create(cfg), cfg.n_pixels)
-    return jax.shard_map(
-        local_frame,
+    traced = jax.shard_map(
+        trace_local,
         mesh=mesh,
-        in_specs=(P(), P(), P(), hist_spec, P(PIXEL_AXIS)),
-        out_specs=(P(PIXEL_AXIS), hist_spec),
+        in_specs=(P(), P(), P(), P(), P(), P(), P(PIXEL_AXIS)),
+        out_specs=(P(PIXEL_AXIS), P()),   # gb per-pixel; aux replicated
         check_vma=False,
     )
+
+    def frame_fn(scene, cam, settings, history, pixel_idx):
+        gb, aux = traced(
+            scene, cam, settings, history.sharc, history.l1,
+            history.frame_index, pixel_idx,
+        )
+        return frame_mod.image_frame(cfg, settings, cam, history, gb, aux)
+
+    return frame_fn

@@ -78,18 +78,19 @@ class History:
         return History(**kw)
 
 
-def render_frame(ctx: traversal.TraceContext, scene: Scene, cam: Camera,
-                 cfg: RenderConfig, settings: Settings, history: History,
-                 reset_history=False, pixel_idx=None):
-    """One frame: returns (outputs dict, new history).
+def trace_frame(ctx: traversal.TraceContext, scene: Scene, cam: Camera,
+                cfg: RenderConfig, settings: Settings, history: History,
+                pixel_idx=None, dynamics=None):
+    """Phase 1 — everything that launches rays: SHARC update probes, the opaque
+    trace, the glass-shadow translucency march, and the glass delta chains.
 
-    outputs["color"] is the composed HDR radiance (N, 3); outputs["final"] is
-    post-TAA when enabled. `pixel_idx` shards the pixel dimension by rows
-    (history must then be row-sharded identically; denoiser stencils then see
-    clamped shard edges until halo exchange lands — parallel/halo.py).
+    All outputs are per-pixel planes (flat, aligned with `pixel_idx`), except
+    `aux` entries which are pixel-independent (SHARC table, probe grid). This
+    phase shards perfectly over the pixel dimension: run it inside shard_map
+    with a per-device `pixel_idx` block and everything else replicated.
 
-    `ctx` may be a TraceContext (opaque-only scene) or SceneContexts (scene with
-    glass; adds the TraceTransparent pass).
+    Returns (gb, aux): gb with added glass_color/glass_mask and the final
+    shadow (incl. translucency); aux = {sharc, probes}.
     """
     ctxs = (
         ctx if isinstance(ctx, traversal.SceneContexts)
@@ -97,46 +98,24 @@ def render_frame(ctx: traversal.TraceContext, scene: Scene, cam: Camera,
     )
     frame = history.frame_index
 
-    # ---- SHARC cache update + resolve (NRDSample.cpp:3965-3997) ----
+    # ---- SHARC cache update + resolve (NRDSample.cpp:3965-3997); probe grid
+    # is full-image (1/ds res) and RNG-deterministic, so under sharding every
+    # device recomputes identical probes/table (replicated-compute; the probe
+    # work is 1/ds^2 of the ray budget) ----
     sharc_state = history.sharc
-    confidence_img = None
+    probes = None
     if cfg.use_sharc and sharc_state is not None:
         from nrdsample_tpu.render import sharc_update
 
         sharc_state, probes = sharc_update.sharc_update_pass(
             ctxs.opaque, scene, cam, cfg, settings, frame, sharc_state
         )
-        # ---- history confidence: probe gradient -> ConfidenceBlur x5 ->
-        # confidence plane (NRDSample.cpp:3999-4026; ConfidenceBlur.cs.hlsl) ----
-        if cfg.use_confidence and history.confidence is not None and pixel_idx is None:
-            from nrdsample_tpu.denoise import confidence as conf_mod
-
-            grad, new_conf_h = conf_mod.gradient_from_probes(
-                history.confidence, probes["radiance"]
-            )
-            grad = conf_mod.atrous_blur(grad, probes["view_z"], probes["normal"])
-            conf_lo = conf_mod.gradient_to_confidence(
-                grad, frame, relax_square=cfg.denoiser == Denoiser.RELAX
-            )
-            conf_lo = conf_lo * settings.prev_frame_confidence
-            # upsample the 1/ds probe grid to render resolution (nearest),
-            # edge-padding the remainder rows/cols
-            ds = cfg.sharc_downscale
-            up = jnp.repeat(jnp.repeat(conf_lo, ds, axis=0), ds, axis=1)
-            up = up[: cfg.height, : cfg.width]
-            pad_h = cfg.height - up.shape[0]
-            pad_w = cfg.width - up.shape[1]
-            confidence_img = jnp.pad(up, ((0, pad_h), (0, pad_w)), mode="edge")
-            new_confidence_state = new_conf_h
-        else:
-            new_confidence_state = history.confidence
-    else:
-        new_confidence_state = history.confidence
 
     gb = trace_opaque.trace_opaque(
         ctxs.opaque, scene, cam, cfg, settings, frame, pixel_idx,
         sharc_state if cfg.use_sharc else None,
         history.l1 if cfg.use_l1_cache else None,
+        dynamics=dynamics,
     )
 
     # ---- stress injection + sanitization (SURVEY.md §4.4; Shared.hlsli:28-45) ----
@@ -154,23 +133,10 @@ def render_frame(ctx: traversal.TraceContext, scene: Scene, cam: Camera,
         if cfg.use_sanitization:
             gb = stress_mod.sanitize_gbuffer(gb, cfg, settings, pidx_s)
 
-    n_local = gb["view_z"].shape[0]
-    w = cfg.width
-    h_local = n_local // w
-
-    def img(a):
-        return a.reshape((h_local, w) + a.shape[1:])
-
-    def flat(a):
-        return a.reshape((n_local,) + a.shape[2:])
-
-    diff = gb["diff_radiance"]
-    spec = gb["spec_radiance"]
-    shadow = gb["shadow"]
-
     # ---- glass-aware shadow translucency (SIGMA_TRANSLUCENCY,
     # TraceOpaque.cs.hlsl:767-804): the sun shadow ray marches through the
     # transparent set; glass hits tint/attenuate instead of fully blocking ----
+    shadow = gb["shadow"]
     if ctxs.transparent is not None and cfg.use_translucency and "shadow_ray" in gb:
         sxo, sdir = gb["shadow_ray"]
         g_hit = traversal.closest_hit(ctxs.transparent, sxo, sdir)
@@ -185,13 +151,94 @@ def render_frame(ctx: traversal.TraceContext, scene: Scene, cam: Camera,
         shadow = shadow * jnp.where(
             settings.disable_shadows > 0, 1.0, translucency
         )
+    gb = dict(gb, shadow=shadow)
+    gb.pop("shadow_ray", None)
+
+    # ---- TraceTransparent glass chains (NRDSample.cpp:4190-4211): the
+    # traversal part runs here; the overlay onto the composed image happens in
+    # image_frame ----
+    if ctxs.transparent is not None:
+        from nrdsample_tpu.render import trace_transparent as tt
+
+        pidx = (
+            pixel_idx if pixel_idx is not None
+            else jnp.arange(cfg.n_pixels, dtype=jnp.int32)
+        )
+        glass_color, glass_mask = tt.trace_transparent_color(
+            ctxs, scene, cam, cfg, settings, frame, gb, pidx,
+            sharc_state if cfg.use_sharc else None,
+        )
+        gb = dict(gb, glass_color=glass_color, glass_mask=glass_mask)
+
+    return gb, {"sharc": sharc_state, "probes": probes}
+
+
+def image_frame(cfg: RenderConfig, settings: Settings, cam: Camera,
+                history: History, gb: dict, aux: dict, reset_history=False):
+    """Phase 2 — pure image-space work: history confidence, checkerboard
+    reconstruction, SIGMA, REBLUR/RELAX, composition, glass overlay, REFERENCE,
+    TAA, post chain, L1-history update.
+
+    Every op here is a stencil/elementwise/gather on (H, W) planes. Under
+    multi-chip sharding this phase runs on GLOBAL row-sharded arrays inside
+    jit — GSPMD inserts the exact halo collectives around the stencils, so the
+    sharded frame equals the single-chip frame (SURVEY.md §2.4(d)).
+    """
+    frame = history.frame_index
+    sharc_state = aux.get("sharc")
+    probes = aux.get("probes")
+
+    n_local = gb["view_z"].shape[0]
+    w = cfg.width
+    h_local = n_local // w
+    full_image = n_local == cfg.n_pixels
+
+    def img(a):
+        return a.reshape((h_local, w) + a.shape[1:])
+
+    def flat(a):
+        return a.reshape((n_local,) + a.shape[2:])
+
+    diff = gb["diff_radiance"]
+    spec = gb["spec_radiance"]
+    shadow = gb["shadow"]
+
+    # ---- history confidence: probe gradient -> ConfidenceBlur x5 ->
+    # confidence plane (NRDSample.cpp:3999-4026; ConfidenceBlur.cs.hlsl) ----
+    confidence_img = None
+    if (cfg.use_sharc and cfg.use_confidence and history.confidence is not None
+            and probes is not None and full_image):
+        from nrdsample_tpu.denoise import confidence as conf_mod
+
+        grad, new_conf_h = conf_mod.gradient_from_probes(
+            history.confidence, probes["radiance"]
+        )
+        grad = conf_mod.atrous_blur(grad, probes["view_z"], probes["normal"])
+        conf_lo = conf_mod.gradient_to_confidence(
+            grad, frame, relax_square=cfg.denoiser == Denoiser.RELAX
+        )
+        conf_lo = conf_lo * settings.prev_frame_confidence
+        # upsample the 1/ds probe grid to render resolution (nearest),
+        # edge-padding the remainder rows/cols
+        ds = cfg.sharc_downscale
+        up = jnp.repeat(jnp.repeat(conf_lo, ds, axis=0), ds, axis=1)
+        up = up[: cfg.height, : cfg.width]
+        pad_h = cfg.height - up.shape[0]
+        pad_w = cfg.width - up.shape[1]
+        confidence_img = jnp.pad(up, ((0, pad_h), (0, pad_w)), mode="edge")
+        # confidence is a history-CONTROL signal (gPrevFrameConfidence), not a
+        # radiance path: detach it from autodiff like the other history gates
+        confidence_img = jax.lax.stop_gradient(confidence_img)
+        new_confidence_state = new_conf_h
+    else:
+        new_confidence_state = history.confidence
 
     # ---- checkerboard reconstruction (RESOLUTION_HALF, Shared.hlsli:62-65):
     # each lobe was traced at half rate; fill the untraced pixels from
     # horizontal neighbors before the denoisers see them ----
     from nrdsample_tpu.config import TracingMode
 
-    if cfg.tracing_mode == TracingMode.HALF and pixel_idx is None:
+    if cfg.tracing_mode == TracingMode.HALF and full_image:
         from nrdsample_tpu.denoise import checkerboard as cb_mod
 
         cb = cb_mod.checkerboard_mask(h_local, w, frame)  # True = diffuse traced
@@ -291,18 +338,11 @@ def render_frame(ctx: traversal.TraceContext, scene: Scene, cam: Camera,
     else:
         composed = composition.compose(gb, diff, spec, shadow)
 
-    # ---- TraceTransparent glass overlay (NRDSample.cpp:4190-4211) ----
-    if ctxs.transparent is not None:
-        from nrdsample_tpu.render import trace_transparent as tt
-
-        pidx = (
-            pixel_idx if pixel_idx is not None
-            else jnp.arange(cfg.n_pixels, dtype=jnp.int32)
-        )
-        composed, _glass = tt.trace_transparent(
-            ctxs, scene, cam, cfg, settings, frame, composed, gb, pidx,
-            sharc_state if cfg.use_sharc else None,
-        )
+    # ---- glass overlay (NRDSample.cpp:4190-4211; chains traced in
+    # trace_frame, the passthrough/overlay select happens here) ----
+    glass_mask = gb.get("glass_mask")
+    if glass_mask is not None:
+        composed = jnp.where(glass_mask[..., None], gb["glass_color"], composed)
 
     if cfg.denoiser == Denoiser.REFERENCE and history.reference is not None:
         composed, new_ref = reference.accumulate(
@@ -315,18 +355,23 @@ def render_frame(ctx: traversal.TraceContext, scene: Scene, cam: Camera,
     if cfg.use_taa and history.taa is not None:
         taa_in = img(composed * settings.exposure * 1e-2)
         # wide (5x5) neighborhood clamp for sky/hair/glass pixels — the
-        # negative-TAA-mask surfaces of Taa.cs.hlsl:77
+        # negative-TAA-mask surfaces of Taa.cs.hlsl:77. Glass comes from the
+        # TraceTransparent hit mask (the opaque G-buffer never carries
+        # FLAG_TRANSPARENT: transparent tris live in a separate context)
         from nrdsample_tpu import config as cfgmod3
 
-        wide = gb["miss"] | (
-            (gb["flags"] & (cfgmod3.FLAG_HAIR | cfgmod3.FLAG_TRANSPARENT)) > 0
-        )
+        wide = gb["miss"] | ((gb["flags"] & cfgmod3.FLAG_HAIR) > 0)
+        if glass_mask is not None:
+            wide = wide | glass_mask
         taa_out, new_taa = taa.apply(
             history.taa, taa_in, img(gb["mv"]), img(gb["view_z"]),
             wide_mask=img(wide), reset=reset_history,
         )
         final = flat(taa_out)
         new_h["taa"] = new_taa
+        taa_wide_mask = wide
+    else:
+        taa_wide_mask = None
 
     # ---- output-resolution chain: SR slot -> NIS -> Final ----
     # (NRDSample.cpp:4236-4409; post/ package; slots for DLSS-SR/RR kept as
@@ -375,6 +420,8 @@ def render_frame(ctx: traversal.TraceContext, scene: Scene, cam: Camera,
         "diff_radiance": diff,
         "spec_radiance": spec,
         "gbuffer": gb,
+        "glass_mask": glass_mask,
+        "taa_wide_mask": taa_wide_mask,
     }
     if cfg.use_sharc:
         new_h["sharc"] = sharc_state
@@ -393,6 +440,29 @@ def render_frame(ctx: traversal.TraceContext, scene: Scene, cam: Camera,
             sun_dir, h_local, w,
         )
     return outputs, History(**new_h)
+
+
+def render_frame(ctx: traversal.TraceContext, scene: Scene, cam: Camera,
+                 cfg: RenderConfig, settings: Settings, history: History,
+                 reset_history=False, pixel_idx=None, dynamics=None):
+    """One frame: trace_frame ∘ image_frame. Returns (outputs dict, new history).
+
+    outputs["color"] is the composed HDR radiance (N, 3); outputs["final"] is
+    post-TAA when enabled. `ctx` may be a TraceContext (opaque-only scene) or
+    SceneContexts (glass scene; adds the TraceTransparent pass). `dynamics` —
+    optional (InstancedScene, m_curr, m_prev) for true moving-object motion
+    vectors.
+
+    For multi-chip rendering do NOT call this inside shard_map — use
+    parallel.mesh.sharded_render_fn, which runs trace_frame per shard and
+    image_frame on global row-sharded images so denoiser stencils are exact at
+    shard boundaries (sharded == unsharded).
+    """
+    gb, aux = trace_frame(
+        ctx, scene, cam, cfg, settings, history,
+        pixel_idx=pixel_idx, dynamics=dynamics,
+    )
+    return image_frame(cfg, settings, cam, history, gb, aux, reset_history)
 
 
 def make_jitted_frame(ctx: traversal.TraceContext, cfg: RenderConfig):

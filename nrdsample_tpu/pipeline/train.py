@@ -15,9 +15,7 @@ import dataclasses
 
 import jax
 import jax.numpy as jnp
-from jax.sharding import PartitionSpec as P
 
-from nrdsample_tpu.parallel.mesh import PIXEL_AXIS, pixel_specs_for
 from nrdsample_tpu.pipeline import frame as frame_mod
 
 
@@ -105,28 +103,34 @@ def make_train_step(ctx, cfg, lr: float = 0.05):
 
 
 def make_sharded_train_step(ctx, cfg, mesh, lr: float = 0.05):
-    """Multi-chip training step: pixels sharded over `px`, materials replicated,
-    gradients psum'd over ICI — the idiomatic TPU realization of gradient
-    all-reduce overlapped with the backward sweep (XLA schedules the overlap).
-    """
-    loss_fn = make_loss_fn(ctx, cfg)
-    hist_spec = pixel_specs_for(frame_mod.History.create(cfg), cfg.n_pixels)
+    """Multi-chip training step over the TWO-PHASE sharded frame
+    (parallel.mesh.sharded_render_fn): rays shard over `px` inside shard_map,
+    the denoiser stack runs on global row-sharded images, and the loss reduces
+    over the sharded pixel dim — GSPMD inserts the gradient all-reduce over ICI
+    (the psum) in the backward sweep and overlaps it with compute.
 
-    def local_step(materials, scene, cam, settings, history, target, pixel_idx):
+    Unlike round 1's in-shard_map frame, the differentiated pipeline here is
+    the SAME pipeline the single chip runs (sharded == unsharded parity).
+    """
+    from nrdsample_tpu.parallel.mesh import sharded_render_fn
+
+    render_fn = sharded_render_fn(ctx, cfg, mesh)
+
+    def loss_fn(mat_diff, mat_rest, scene, cam, settings, history, target,
+                pixel_idx):
+        materials = merge_materials(mat_diff, mat_rest)
+        scene = dataclasses.replace(scene, materials=materials)
+        out, _ = render_fn(scene, cam, settings, history, pixel_idx)
+        err = out["color"] - target
+        return jnp.sum(err * err)
+
+    @jax.jit
+    def step(materials, scene, cam, settings, history, target, pixel_idx):
         mat_diff, mat_rest = split_materials(materials)
         loss, g = jax.value_and_grad(loss_fn)(
             mat_diff, mat_rest, scene, cam, settings, history, target, pixel_idx
         )
-        loss = jax.lax.psum(loss, PIXEL_AXIS)
-        g = jax.lax.psum(g, PIXEL_AXIS)
         new_diff = jax.tree.map(lambda p, gr: p - lr * gr, mat_diff, g)
-        return loss, merge_materials(new_diff, mat_rest)
+        return loss, merge_materials(project_materials(new_diff), mat_rest)
 
-    sharded = jax.shard_map(
-        local_step,
-        mesh=mesh,
-        in_specs=(P(), P(), P(), P(), hist_spec, P(PIXEL_AXIS), P(PIXEL_AXIS)),
-        out_specs=(P(), P()),
-        check_vma=False,
-    )
-    return jax.jit(sharded)
+    return step

@@ -18,7 +18,9 @@ import jax.numpy as jnp
 
 from nrdsample_tpu.mathlib import color, rng
 
-NV_GREEN = jnp.array([118.0 / 255.0, 185.0 / 255.0, 0.0])
+import numpy as _np
+
+NV_GREEN = _np.array([118.0 / 255.0, 185.0 / 255.0, 0.0], _np.float32)
 
 
 def tonemap_output(hdr: jnp.ndarray, exposure) -> jnp.ndarray:

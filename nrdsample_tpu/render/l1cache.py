@@ -95,7 +95,7 @@ def radiance_from_previous_frame(hist: L1History, cam, props: dict, pixel_idx,
     l_diff, l_spec, w = reproject_irradiance(
         hist, cam, props, pixel_idx, width, height, sun_dir, prev_frame_confidence
     )
-    norm_curv = jnp.clip(jnp.sqrt(jnp.abs(props["curvature"])) / 2.5, 0.0, 1.0)
+    norm_curv = jnp.clip(jnp.sqrt(jnp.abs(props["curvature"]) + 1e-12) / 2.5, 0.0, 1.0)
     f = 1.0 - jnp.exp2(-200.0 * props["roughness"] ** 2)
     spec_conf = f * geo.pow01(props["roughness"], 0.5)
     spec_conf = spec_conf + (1.0 - spec_conf) * norm_curv

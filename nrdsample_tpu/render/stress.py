@@ -25,7 +25,7 @@ from nrdsample_tpu import config
 from nrdsample_tpu.config import RenderConfig, Settings
 from nrdsample_tpu.mathlib import rng
 
-GARBAGE = jnp.float32(float("nan"))  # sqrt(-1) in the reference, Shared.hlsli:150
+GARBAGE = float("nan")  # sqrt(-1) in the reference, Shared.hlsli:150
 
 #: view-z beyond this is outside the "denoising range" (NRD's default
 #: denoisingRange is 500000; the sample uses it through gDenoisingRange)

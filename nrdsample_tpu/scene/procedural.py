@@ -434,3 +434,99 @@ def random_soup(num_tris: int = 100_000, extent: float = 50.0, seed: int = 0) ->
         flags=np.full(8, config.FLAG_NON_TRANSPARENT, np.int32),
     )
     return make_scene(tris, mats, max_emissive=1)
+
+
+def exterior(blocks: int = 4, window_grid: int = 6, cobbles: int = 60,
+             tree_count: int = 120, tree_res: int = 20, lamp_count: int = 24,
+             glass: bool = True, seed: int = 0) -> Scene:
+    """Bistro-like exterior street block (BASELINE config 4 stand-in: the
+    reference renders the BistroExterior glTF, NRDSample.cpp:2197-2241; no
+    assets ship with this snapshot, so the production-SCALE properties are
+    reproduced procedurally): a blocks x blocks grid of buildings with glass
+    window panes (FLAG_TRANSPARENT), cobblestone street, tree canopies
+    (spheres — the triangle-count carrier with real spatial locality, unlike
+    random_soup), and emissive street lamps driving the emissive-IS path.
+
+    Default ~200k tris; exterior(cobbles=120, tree_count=400, tree_res=26)
+    reaches Bistro-class ~1M tris.
+    """
+    rs = np.random.RandomState(seed)
+    parts = []
+    M_GROUND, M_COBBLE, M_FACADE, M_ROOF, M_GLASS, M_LEAF, M_TRUNK, M_LAMP, M_SIGN = range(9)
+    extent = 60.0
+
+    # street + cobblestones (box grid with jittered heights: dense local detail)
+    gv, gi = make_plane([0, 0, 0], [extent * 2, extent * 2])
+    parts.append((gv, gi, None, M_GROUND))
+    for i in range(cobbles):
+        for j in range(cobbles):
+            x = (i / max(cobbles - 1, 1) - 0.5) * extent * 1.6
+            y = (j / max(cobbles - 1, 1) - 0.5) * extent * 1.6
+            s = 0.35 + 0.15 * rs.rand()
+            cv, ci = make_box([x + 0.3 * (rs.rand() - 0.5),
+                               y + 0.3 * (rs.rand() - 0.5),
+                               0.05 + 0.03 * rs.rand()], [s, s, 0.1])
+            parts.append((cv, ci, None, M_COBBLE))
+
+    # buildings around the block perimeter with window panes
+    for bi in range(blocks):
+        for bj in range(blocks):
+            if 0 < bi < blocks - 1 and 0 < bj < blocks - 1:
+                continue  # hollow block: street in the middle
+            bx = (bi / max(blocks - 1, 1) - 0.5) * extent * 1.7
+            by = (bj / max(blocks - 1, 1) - 0.5) * extent * 1.7
+            w, d = 10.0 + 4.0 * rs.rand(), 8.0 + 4.0 * rs.rand()
+            h = 8.0 + 10.0 * rs.rand()
+            bv, bidx = make_box([bx, by, h / 2], [w, d, h])
+            parts.append((bv, bidx, None, M_FACADE))
+            rv, ri = make_box([bx, by, h + 0.3], [w * 1.08, d * 1.08, 0.6])
+            parts.append((rv, ri, None, M_ROOF))
+            if glass:
+                # window panes on the two street-facing facades
+                for side, (nx, ny) in [(0, (0.0, -1.0)), (1, (0.0, 1.0))]:
+                    fy = by + ny * (d / 2 + 0.02)
+                    rows = max(int(h / 2.5), 2)
+                    for wr in range(rows):
+                        for wc in range(window_grid):
+                            wx = bx + (wc / max(window_grid - 1, 1) - 0.5) * (w * 0.8)
+                            wz = 1.5 + wr * (h - 2.5) / max(rows - 1, 1)
+                            q = _quad([wx - 0.55, fy, wz - 0.7], [wx + 0.55, fy, wz - 0.7],
+                                      [wx + 0.55, fy, wz + 0.7], [wx - 0.55, fy, wz + 0.7])
+                            parts.append((q[0], q[1], None, M_GLASS))
+
+    # trees: trunk box + canopy sphere (the tri-count carrier)
+    for _ in range(tree_count):
+        tx = (rs.rand() - 0.5) * extent * 1.3
+        ty = (rs.rand() - 0.5) * extent * 1.3
+        th = 2.0 + 1.5 * rs.rand()
+        tv, ti = make_box([tx, ty, th / 2], [0.35, 0.35, th])
+        parts.append((tv, ti, None, M_TRUNK))
+        cv, ci, cn = make_sphere([tx, ty, th + 1.2], 1.1 + 0.6 * rs.rand(),
+                                 tree_res, tree_res + 8)
+        parts.append((cv, ci, cn, M_LEAF))
+
+    # emissive street lamps + one storefront sign (emissive-IS targets)
+    for k in range(lamp_count):
+        a = 2 * np.pi * k / lamp_count
+        lx, ly = np.cos(a) * extent * 0.6, np.sin(a) * extent * 0.6
+        pv, pi = make_box([lx, ly, 2.0], [0.15, 0.15, 4.0])
+        parts.append((pv, pi, None, M_TRUNK))
+        sv, si, sn = make_sphere([lx, ly, 4.2], 0.3, 8, 12)
+        parts.append((sv, si, sn, M_LAMP))
+    sgn = _quad([-3, -extent * 0.84, 3], [3, -extent * 0.84, 3],
+                [3, -extent * 0.84, 4.2], [-3, -extent * 0.84, 4.2])
+    parts.append((sgn[0], sgn[1], None, M_SIGN))
+
+    materials = {
+        "base_color": [[0.35, 0.35, 0.36], [0.45, 0.42, 0.4], [0.6, 0.5, 0.42],
+                       [0.3, 0.25, 0.23], [0.8, 0.85, 0.9], [0.15, 0.4, 0.12],
+                       [0.3, 0.2, 0.12], [1.0, 0.9, 0.7], [0.9, 0.3, 0.6]],
+        "metalness": [0.0, 0.0, 0.0, 0.1, 0.0, 0.0, 0.0, 0.0, 0.0],
+        "roughness": [0.8, 0.7, 0.75, 0.5, 0.05, 0.8, 0.9, 0.4, 0.3],
+        "emission": [[0, 0, 0]] * 7 + [[40.0, 36.0, 28.0], [25.0, 8.0, 17.0]],
+        "ior": [1.5] * 9,
+        "flags": [config.FLAG_NON_TRANSPARENT] * 4 + [
+            config.FLAG_TRANSPARENT if glass else config.FLAG_NON_TRANSPARENT
+        ] + [config.FLAG_NON_TRANSPARENT] * 4,
+    }
+    return _assemble(parts, materials, max_emissive=256)
