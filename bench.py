@@ -171,22 +171,28 @@ def bench_denoise(size: int = 512, n_iter: int = 10) -> dict:
     from nrdsample_tpu.denoise import relax
 
     h = w = size
-    rs_img = jnp.ones((h, w, 3), jnp.float32) * 0.5
+    key = jax.random.PRNGKey(0)
+    rs_img = jax.random.uniform(key, (h, w, 3), jnp.float32)
     vz = jnp.ones((h, w), jnp.float32)
     nrm = jnp.zeros((h, w, 3), jnp.float32).at[..., 2].set(1.0)
     mv = jnp.zeros((h, w, 3), jnp.float32)
     rh = relax.RelaxHistory.create(h, w, jnp.float32)
 
+    # all planes are jit ARGUMENTS (closure-captured arrays become HLO
+    # constants that axon re-uploads over the tunnel every call), and the
+    # history cycles through the step so entry layouts reach steady state
+    # (a mismatched history layout costs a ~260 ms/call relayout transfer)
     @jax.jit
-    def dn(hist):
-        out, new_h = relax.denoise(hist, rs_img, vz, nrm, mv)
+    def dn(hist, img, vz, nrm, mv):
+        out, new_h = relax.denoise(hist, img, vz, nrm, mv)
         return out, new_h
 
-    out_d, rh = dn(rh)
+    out_d, rh = dn(rh, rs_img, vz, nrm, mv)
+    out_d, rh = dn(rh, rs_img, vz, nrm, mv)
     jax.block_until_ready(out_d)
     t0 = time.perf_counter()
     for _ in range(n_iter):
-        out_d, rh = dn(rh)
+        out_d, rh = dn(rh, rs_img, vz, nrm, mv)
     jax.block_until_ready(out_d)
     dt_dn = (time.perf_counter() - t0) / n_iter
     return {"denoise_mpix_s": h * w / dt_dn / 1e6, "denoise_ms": dt_dn * 1e3}

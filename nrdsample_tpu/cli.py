@@ -86,6 +86,7 @@ def cmd_render(args) -> int:
         psr_bounce_num=args.psr,
         output_width=out_size, output_height=out_size,
         use_nis=args.nis,
+        use_neural_sr=(args.sr == "neural"),
         enable_post=bool(out_size or args.nis or args.separator > 0.0),
     )
     settings = Settings(
@@ -188,38 +189,63 @@ def cmd_animate(args) -> int:
     )
     settings = Settings(sun_elevation=jnp.float32(55.0))
 
-    from functools import partial
+    from functools import lru_cache, partial
 
-    @partial(jax.jit, donate_argnums=(2,))
-    def frame_fn(t, t_prev, history):
-        # animate -> transform -> refit -> render, all in one jitted program;
-        # prev transforms feed the worldToWorldPrev motion-vector path
-        def transforms(tt):
-            m = animation.orbit_transforms(pool, tt)
-            return jnp.concatenate([instances.identity_transforms(1), m], axis=0)
+    from nrdsample_tpu.pipeline import drs as drs_mod
 
-        m_curr = transforms(t)
-        m_prev = transforms(t_prev)
-        world = instances.transform_scene(inst, m_curr)
-        ctx2 = instances.refit_context(ctx, world)
-        return frame_mod.render_frame(
-            ctx2, world, cam, cfg, settings, history,
-            dynamics=(inst, m_curr, m_prev),
-        )
+    @lru_cache(maxsize=None)
+    def make_frame_fn(bucket_cfg):
+        # one cached jit specialization per DRS bucket (pipeline/drs.py)
+        @partial(jax.jit, donate_argnums=(2,))
+        def frame_fn(t, t_prev, history):
+            # animate -> transform -> refit -> render, one jitted program;
+            # prev transforms feed the worldToWorldPrev motion-vector path
+            def transforms(tt):
+                m = animation.orbit_transforms(pool, tt)
+                return jnp.concatenate(
+                    [instances.identity_transforms(1), m], axis=0)
 
-    hist = frame_mod.History.create(cfg)
+            m_curr = transforms(t)
+            m_prev = transforms(t_prev)
+            world = instances.transform_scene(inst, m_curr)
+            ctx2 = instances.refit_context(ctx, world)
+            return frame_mod.render_frame(
+                ctx2, world, cam, bucket_cfg, settings, history,
+                dynamics=(inst, m_curr, m_prev),
+            )
+
+        return frame_fn
+
+    ctrl = (drs_mod.DrsController(args.drs_target_ms)
+            if args.drs_target_ms > 0 else None)
+    cur_cfg = drs_mod.bucket_cfg(cfg, ctrl.scale) if ctrl else cfg
+    hist = frame_mod.History.create(cur_cfg)
     import time as _time
 
     t0 = _time.perf_counter()
     out = None
     for f in range(args.frames):
         t = f / 24.0
-        out, hist = frame_fn(jnp.float32(t), jnp.float32(max(t - 1 / 24.0, 0.0)), hist)
-    jax.block_until_ready(out["final"])
+        tf0 = _time.perf_counter()
+        out, hist = make_frame_fn(cur_cfg)(
+            jnp.float32(t), jnp.float32(max(t - 1 / 24.0, 0.0)), hist)
+        if ctrl is not None:
+            jax.block_until_ready(out["display"])
+            scale = ctrl.update((_time.perf_counter() - tf0) * 1e3)
+            next_cfg = drs_mod.bucket_cfg(cfg, scale)
+            if next_cfg is not cur_cfg and next_cfg != cur_cfg:
+                print(f"frame {f}: DRS -> {next_cfg.width}x{next_cfg.height}",
+                      file=sys.stderr)
+                hist = drs_mod.resize_history(hist, cur_cfg, next_cfg)
+                cur_cfg = next_cfg
+    key = "display" if ctrl is not None else "final"
+    jax.block_until_ready(out[key])
     dt = _time.perf_counter() - t0
     print(f"{args.frames} animated frames in {dt:.2f}s "
           f"({dt/args.frames*1e3:.1f} ms/frame incl. compile)", file=sys.stderr)
-    img = np.asarray(out["final"]).reshape(args.size, args.size, 3)
+    img = np.asarray(out[key])
+    if ctrl is None:
+        img = img.reshape(args.size, args.size, 3)  # "final" is flat (N, 3)
     image_mod.write_png(args.out, image_mod.tonemap_for_display(img, 0.6))
     print(f"wrote {args.out}")
     return 0
@@ -327,7 +353,10 @@ def main(argv=None) -> int:
     r.add_argument("--sharc", action="store_true", help="SHARC L2 radiance cache")
     r.add_argument("--psr", type=int, default=0, help="PSR mirror-walk bounces")
     r.add_argument("--upscale", type=int, default=0,
-                   help="output resolution (Lanczos SR slot; 0 = native)")
+                   help="output resolution (SR slot; 0 = native)")
+    r.add_argument("--sr", default="lanczos", choices=["lanczos", "neural"],
+                   help="SR-slot kernel: classical Lanczos-2 or the learned "
+                        "residual CNN (falls back to Lanczos if weights absent)")
     r.add_argument("--nis", action="store_true", help="NIS-style sharpen")
     r.add_argument("--separator", type=float, default=0.0,
                    help="split-screen noisy|denoised separator in [0,1]")
@@ -345,6 +374,9 @@ def main(argv=None) -> int:
     a.add_argument("--denoiser", default="relax",
                    choices=["reblur", "relax", "reference"])
     a.add_argument("--out", default="/tmp/animate.png")
+    a.add_argument("--drs-target-ms", type=float, default=0.0,
+                   help="enable dynamic resolution: target frame time in ms "
+                        "(bucketed render rect, pipeline/drs.py; 0 = off)")
     a.add_argument("--cpu", action="store_true")
     a.set_defaults(fn=cmd_animate)
 

@@ -107,6 +107,7 @@ SHARC_PROPAGATION_DEPTH = 4
 INF = 1e5
 MAX_MIP_LEVEL = 11.0
 LEAF_TRANSLUCENCY = 0.25
+LEAF_THICKNESS = 0.001   # Shared.hlsli:146 — back-side offset for transmitted rays
 TAA_HISTORY_SHARPNESS = 0.66
 TAA_SIGMA_SCALE = 2.0
 
@@ -171,6 +172,9 @@ class RenderConfig:
     output_width: int = 0
     output_height: int = 0
     use_nis: bool = False
+    use_neural_sr: bool = False       # learned residual CNN in the DLSS-SR slot
+                                      # (post/neural_sr.py; falls back to
+                                      # Lanczos if shipped weights are absent)
     enable_post: bool = False         # tonemap + Final pass -> outputs["display"]
     dtype: Any = jnp.float32          # compute dtype for shading
     # stress tests + sanitization (SURVEY.md §4.4, Shared.hlsli:28-45)

@@ -44,3 +44,27 @@ def resolve(img: jnp.ndarray, traced: jnp.ndarray) -> jnp.ndarray:
     while m.ndim < img.ndim:
         m = m[..., None]
     return jnp.where(m, img, fill)
+
+
+def hitdist_reconstruct_3x3(hitdist: jnp.ndarray) -> jnp.ndarray:
+    """AREA_3X3 hit-distance reconstruction (the hitDistanceReconstructionMode
+    NRD-Sample enables whenever tracingMode == RESOLUTION_FULL_PROBABILISTIC,
+    NRDSample.cpp:548/:569): probabilistic lobe selection leaves the unsampled
+    lobe's hit distance at 0, which would poison REBLUR's hitT-driven blur
+    radius and virtual-motion reprojection; fill zeros with the average of the
+    valid 3x3 neighbors (zeros stay zero only if the whole neighborhood is
+    empty).
+
+    hitdist: (H, W) with 0 marking "not sampled this frame".
+    """
+    from nrdsample_tpu.denoise import common
+
+    valid = (hitdist > 0.0).astype(hitdist.dtype)
+    num = jnp.zeros_like(hitdist)
+    den = jnp.zeros_like(hitdist)
+    for dy in (-1, 0, 1):
+        for dx in (-1, 0, 1):
+            num = num + common.shifted(hitdist, dy, dx)
+            den = den + common.shifted(valid, dy, dx)
+    fill = num / jnp.maximum(den, 1.0)
+    return jnp.where(hitdist > 0.0, hitdist, fill)

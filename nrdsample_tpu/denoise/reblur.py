@@ -79,6 +79,44 @@ def spec_magic_curve(roughness):
     return f * geo.pow01(roughness, 0.5)
 
 
+def specular_dominant_factor(roughness):
+    """Fraction of the specular lobe that behaves like a mirror reflection
+    (ImportanceSampling::GetSpecularDominantFactor shape): 1 at r=0, -> 0 as
+    r -> 1. Drives how far the virtual image sits behind the reflector."""
+    r = jnp.clip(roughness, 0.0, 1.0)
+    return (1.0 - r) * (jnp.sqrt(1.0 - r) + r)
+
+
+def specular_virtual_mv(cam, x, view_dir, spec_hitdist, roughness, mv,
+                        width: int, height: int, miss=None):
+    """Virtual-motion reprojection for the specular channel (the REBLUR
+    virtual-history idea, GetDefaultReblurSettings NRDSample.cpp:563-585):
+    a reflection does not move with the reflector surface — it moves with the
+    VIRTUAL image at X + V * hitT * D behind the surface. Reprojecting the
+    specular history at the virtual point keeps mirror reflections sharp under
+    camera motion instead of smearing them with the surface motion vector.
+
+    x: (H, W, 3) primary hit position; view_dir: (H, W, 3) unit eye->surface;
+    mv: (H, W, 3) surface 2.5D motion. Returns (H, W, 3) motion for the
+    specular history lookup (xy blended toward virtual, z kept surface-based
+    for the disocclusion test).
+    """
+    from nrdsample_tpu.scene import camera as cam_mod
+
+    amount = specular_dominant_factor(roughness)
+    xv = x + view_dir * (spec_hitdist * amount)[..., None]
+    # Xv lies on the primary ray, so its current projection IS this pixel;
+    # only the previous-frame projection differs from the surface one.
+    uv_cur = cam_mod.world_to_uv(cam, x, prev=False)
+    uv_prev = cam_mod.world_to_uv(cam, xv, prev=True)
+    wh = jnp.array([width, height], jnp.float32)
+    mv_virt_xy = (uv_prev - uv_cur) * wh
+    mv_xy = mv[..., :2] + (mv_virt_xy - mv[..., :2]) * amount[..., None]
+    if miss is not None:
+        mv_xy = jnp.where(miss[..., None], mv[..., :2], mv_xy)
+    return jnp.concatenate([mv_xy, mv[..., 2:3]], axis=-1)
+
+
 def _rot2(frame):
     a = jnp.asarray(frame, jnp.float32) * 2.39996  # golden-angle per frame
     return jnp.cos(a), jnp.sin(a)

@@ -69,6 +69,8 @@ PACKETS_PER_STEP = 8  # TPU block shapes need >= 8 sublanes; each grid step
                       # therefore runs 8 independent packet loops sequentially
 UNROLL = 8            # independent cluster tests per loop trip (ILP; the loop
                       # is latency-bound on the slice->intersect->reduce chain)
+TAIL_UNROLL = 2       # trip width of the remainder loop (the <UNROLL leftover
+                      # clusters after the main loop; see two-phase walk below)
 
 
 def _packet_kernel(order_hbm, keys_ref,
@@ -135,63 +137,80 @@ def _one_packet(p, c, order_smem, keys_ref,
 
     keys_row = keys_ref[p, :]
 
-    def cond(state):
-        i, t_best, _ = state
+    def prune_count(t_best):
         # block-level t-pruning, vectorized: keys are sorted ascending, so
         # keys[i] < X  <=>  i < count(keys < X)  (no scalar VMEM loads)
-        prune_count = jnp.sum((keys_row < jnp.max(t_best)).astype(jnp.int32))
+        return jnp.sum((keys_row < jnp.max(t_best)).astype(jnp.int32))
+
+    def undone(t_best):
         if any_hit:
             # for occlusion we only need *a* hit inside t_max
-            undone = jnp.any(t_best >= tmax_ref[p, :])
-            return (i < prune_count) & undone
-        return i < prune_count
+            return jnp.any(t_best >= tmax_ref[p, :])
+        return True
 
-    def body(state):
-        # UNROLL-wide trip: several INDEPENDENT cluster tests per iteration —
-        # the loop is latency-bound (slice -> intersect -> reduce -> cond is a
-        # serial chain), so independent work per trip is the lever, not fewer
-        # ops (2-wide measured +13% primary / +27% bounce over 1-wide).
-        # Past-the-end the order row is 0-padded: re-testing cluster 0 is
-        # redundant but geometrically harmless (closest-hit keeps the min).
-        i, t_best, tri_best = state
+    def test(cid):
+        blk = slab_ref[pl.ds(cid * slab_rows, slab_rows), :]  # (16, K)
+        t, u, v, hit = _mt_block(
+            ox, oy, oz, dx, dy, dz,
+            blk[0:1, :], blk[1:2, :], blk[2:3, :],
+            blk[3:4, :], blk[4:5, :], blk[5:6, :],
+            blk[6:7, :], blk[7:8, :], blk[8:9, :],
+        )
+        return jnp.where(hit, t, T_MAX)
 
-        def test(cid):
-            blk = slab_ref[pl.ds(cid * slab_rows, slab_rows), :]  # (16, K)
-            t, u, v, hit = _mt_block(
-                ox, oy, oz, dx, dy, dz,
-                blk[0:1, :], blk[1:2, :], blk[2:3, :],
-                blk[3:4, :], blk[4:5, :], blk[5:6, :],
-                blk[6:7, :], blk[7:8, :], blk[8:9, :],
-            )
-            return jnp.where(hit, t, T_MAX)
+    def make_body(g: int):
+        # g-wide trip: g INDEPENDENT cluster tests per iteration — the loop is
+        # latency-bound (slice -> intersect -> reduce -> cond is a serial
+        # chain), so independent work per trip is the lever, not fewer ops
+        # (2-wide measured +13% primary / +27% bounce over 1-wide).
+        def body(state):
+            i, t_best, tri_best = state
+            cid0 = order_smem[p, i]
+            t = test(cid0)
+            cid_plane = jnp.broadcast_to(cid0, t.shape)
+            for j in range(1, g):
+                cid_j = order_smem[p, jnp.minimum(i + j, c - 1)]
+                t_j = test(cid_j)
+                take = t_j < t
+                cid_plane = jnp.where(take, cid_j, cid_plane)
+                t = jnp.where(take, t_j, t)
 
-        cid0 = order_smem[p, i]
-        t = test(cid0)
-        cid_plane = jnp.broadcast_to(cid0, t.shape)
-        for j in range(1, UNROLL):
-            cid_j = order_smem[p, jnp.minimum(i + j, c - 1)]
-            t_j = test(cid_j)
-            take = t_j < t
-            cid_plane = jnp.where(take, cid_j, cid_plane)
-            t = jnp.where(take, t_j, t)
+            t = jnp.where(t < t_best[:, None], t, T_MAX)
+            # argmin via iota/mask reductions (Mosaic has no general gather
+            # lowering inside kernels); u/v are NOT tracked in-loop — they are
+            # reconstructed outside the kernel from the winning triangle
+            k = t.shape[1]
+            idxs = jax.lax.broadcasted_iota(jnp.int32, t.shape, 1)
+            tmin = jnp.min(t, axis=-1)
+            is_min = t <= tmin[:, None]
+            kmin = jnp.min(jnp.where(is_min, idxs, k), axis=-1)
+            sel = idxs == kmin[:, None]
+            cid_win = jnp.max(jnp.where(sel, cid_plane, 0), axis=-1)
+            closer = tmin < t_best
+            t_best = jnp.where(closer, tmin, t_best)
+            tri_best = jnp.where(closer, cid_win * CLUSTER_SIZE + kmin, tri_best)
+            return i + g, t_best, tri_best
 
-        t = jnp.where(t < t_best[:, None], t, T_MAX)
-        # argmin via iota/mask reductions (Mosaic has no general gather
-        # lowering inside kernels); u/v are NOT tracked in-loop — they are
-        # reconstructed outside the kernel from the winning triangle
-        k = t.shape[1]
-        idxs = jax.lax.broadcasted_iota(jnp.int32, t.shape, 1)
-        tmin = jnp.min(t, axis=-1)
-        is_min = t <= tmin[:, None]
-        kmin = jnp.min(jnp.where(is_min, idxs, k), axis=-1)
-        sel = idxs == kmin[:, None]
-        cid_win = jnp.max(jnp.where(sel, cid_plane, 0), axis=-1)
-        closer = tmin < t_best
-        t_best = jnp.where(closer, tmin, t_best)
-        tri_best = jnp.where(closer, cid_win * CLUSTER_SIZE + kmin, tri_best)
-        return i + UNROLL, t_best, tri_best
+        return body
 
-    _, t_best, tri_best = jax.lax.while_loop(cond, body, init)
+    # Two-phase walk: UNROLL-wide main loop while a FULL group remains below
+    # the prune horizon, then a TAIL_UNROLL-wide remainder loop. Worklist
+    # counts are heavily skewed (p50 ~ 1 on coherent primaries), so rounding
+    # every packet up to UNROLL tests was measured to nearly double the
+    # intersection math; the tail loop pays latency only for the 1-7 clusters
+    # that actually remain.
+    def cond_main(state):
+        i, t_best, _ = state
+        return (i + UNROLL <= prune_count(t_best)) & undone(t_best)
+
+    def cond_tail(state):
+        i, t_best, _ = state
+        return (i < prune_count(t_best)) & undone(t_best)
+
+    state = jax.lax.while_loop(cond_main, make_body(UNROLL), init)
+    _, t_best, tri_best = jax.lax.while_loop(
+        cond_tail, make_body(TAIL_UNROLL), state
+    )
     t_out[p, :] = t_best
     tri_out[p, :] = tri_best
 
@@ -273,41 +292,26 @@ def _one_packet_stream(p, c, order_smem, keys_ref,
         jnp.full(t0.shape, -1, jnp.int32),
     )
 
-    def cond(state):
-        i, t_best, _ = state
-        prune_count = jnp.sum((keys_row < jnp.max(t_best)).astype(jnp.int32))
+    def prune_count(t_best):
+        return jnp.sum((keys_row < jnp.max(t_best)).astype(jnp.int32))
+
+    def undone(t_best):
         if any_hit:
-            undone = jnp.any(t_best >= tmax_ref[p, :])
-            return (i < prune_count) & undone
-        return i < prune_count
+            return jnp.any(t_best >= tmax_ref[p, :])
+        return True
 
-    def body(state):
+    def test(off):
+        blk = slab_scr[pl.ds(pl.multiple_of(off, slab_rows), slab_rows), :]
+        t, u, v, hit = _mt_block(
+            ox, oy, oz, dx, dy, dz,
+            blk[0:1, :], blk[1:2, :], blk[2:3, :],
+            blk[3:4, :], blk[4:5, :], blk[5:6, :],
+            blk[6:7, :], blk[7:8, :], blk[8:9, :],
+        )
+        return jnp.where(hit, t, T_MAX)
+
+    def merge(state, t, cid_plane):
         i, t_best, tri_best = state
-        slot = (i // G) % 2
-        start_group(i + G, 1 - slot)
-        wait_group(i, slot)
-        base = slot * G * slab_rows
-
-        def test(off):
-            blk = slab_scr[pl.ds(pl.multiple_of(off, slab_rows), slab_rows), :]
-            t, u, v, hit = _mt_block(
-                ox, oy, oz, dx, dy, dz,
-                blk[0:1, :], blk[1:2, :], blk[2:3, :],
-                blk[3:4, :], blk[4:5, :], blk[5:6, :],
-                blk[6:7, :], blk[7:8, :], blk[8:9, :],
-            )
-            return jnp.where(hit, t, T_MAX)
-
-        cid0 = order_smem[p, jnp.minimum(i, c - 1)]
-        t = test(base)
-        cid_plane = jnp.broadcast_to(cid0, t.shape)
-        for j in range(1, G):
-            cid_j = order_smem[p, jnp.minimum(i + j, c - 1)]
-            t_j = test(base + j * slab_rows)
-            take = t_j < t
-            cid_plane = jnp.where(take, cid_j, cid_plane)
-            t = jnp.where(take, t_j, t)
-
         t = jnp.where(t < t_best[:, None], t, T_MAX)
         k = t.shape[1]
         idxs = jax.lax.broadcasted_iota(jnp.int32, t.shape, 1)
@@ -319,13 +323,90 @@ def _one_packet_stream(p, c, order_smem, keys_ref,
         closer = tmin < t_best
         t_best = jnp.where(closer, tmin, t_best)
         tri_best = jnp.where(closer, cid_win * CLUSTER_SIZE + kmin, tri_best)
+        return t_best, tri_best
+
+    def cond_main(state):
+        i, t_best, _ = state
+        # main loop consumes FULL groups only; the remainder is handled by the
+        # tail loop below out of the already-in-flight group's scratch
+        return (i + G <= prune_count(t_best)) & undone(t_best)
+
+    def body(state):
+        i, t_best, tri_best = state
+        slot = (i // G) % 2
+        start_group(i + G, 1 - slot)
+        wait_group(i, slot)
+        base = slot * G * slab_rows
+
+        cid0 = order_smem[p, jnp.minimum(i, c - 1)]
+        t = test(base)
+        cid_plane = jnp.broadcast_to(cid0, t.shape)
+        for j in range(1, G):
+            cid_j = order_smem[p, jnp.minimum(i + j, c - 1)]
+            t_j = test(base + j * slab_rows)
+            take = t_j < t
+            cid_plane = jnp.where(take, cid_j, cid_plane)
+            t = jnp.where(take, t_j, t)
+
+        t_best, tri_best = merge((i, t_best, tri_best), t, cid_plane)
         return i + G, t_best, tri_best
 
-    i_end, t_best, tri_best = jax.lax.while_loop(cond, body, init)
-    # drain the group left in flight (started for i_end, never consumed)
-    wait_group(i_end, (i_end // G) % 2)
+    i_end, t_best, tri_best = jax.lax.while_loop(cond_main, body, init)
+    # drain the group left in flight (started for i_end, never consumed by the
+    # main loop) — its G clusters cover every possible tail index
+    slot_end = (i_end // G) % 2
+    wait_group(i_end, slot_end)
+
+    def cond_tail(state):
+        i, t_best, _ = state
+        return (i < prune_count(t_best)) & undone(t_best)
+
+    def body_tail(state):
+        i, t_best, tri_best = state
+        off = slot_end * G * slab_rows + (i - i_end) * slab_rows
+        cid0 = order_smem[p, jnp.minimum(i, c - 1)]
+        t = test(off)
+        cid_plane = jnp.broadcast_to(cid0, t.shape)
+        t_best, tri_best = merge((i, t_best, tri_best), t, cid_plane)
+        return i + 1, t_best, tri_best
+
+    _, t_best, tri_best = jax.lax.while_loop(
+        cond_tail, body_tail, (i_end, t_best, tri_best)
+    )
     t_out[p, :] = t_best
     tri_out[p, :] = tri_best
+
+
+_CID_BITS = 14  # cluster-id payload bits in the packed sort key (<= 16384 clusters)
+
+
+def _sort_worklists(key, hit):
+    """(order, keys_sorted, count) from per-block keys via ONE int32 sort.
+
+    XLA's co-sort (f32 keys + i32 payload argsort + take_along_axis gather) was
+    measured 99.6 ms on a (1024, 8263) matrix; packing the quantized key into
+    the high bits of one int32 and the cluster id into the low 14 bits makes it
+    13.0 ms (single operand, no gather). The reconstructed keys have their low
+    mantissa bits zeroed — a conservative LOWER bound, so the kernel's
+    sorted-key t-pruning stays correct (it may prune a hair later, never
+    earlier)."""
+    c = key.shape[1]
+    if c >= (1 << _CID_BITS):
+        order = jnp.argsort(key, axis=1).astype(jnp.int32)
+        keys_sorted = jnp.take_along_axis(key, order, axis=1)
+        return order, keys_sorted, jnp.sum(hit, axis=1).astype(jnp.int32)
+    mask = jnp.int32((1 << _CID_BITS) - 1)
+    # miss entries must stay ABOVE every quantized hit key after the low bits
+    # are zeroed (else sky rays would walk the whole list): +inf's exponent
+    # pattern survives the masking exactly, T_MAX would be rounded DOWN
+    key = jnp.where(hit, jnp.maximum(key, 0.0), jnp.inf)
+    # float bits are order-preserving for non-negative floats
+    bits = jax.lax.bitcast_convert_type(key, jnp.int32)
+    cid = jax.lax.broadcasted_iota(jnp.int32, key.shape, 1)
+    packed = jnp.sort((bits & ~mask) | cid, axis=1)
+    order = packed & mask
+    keys_sorted = jax.lax.bitcast_convert_type(packed & ~mask, jnp.float32)
+    return order, keys_sorted, jnp.sum(hit, axis=1).astype(jnp.int32)
 
 
 def _block_worklists(origin, direction, cs: ClusterSet, t_max, block: int):
@@ -342,10 +423,7 @@ def _block_worklists(origin, direction, cs: ClusterSet, t_max, block: int):
     block_near = jnp.min(entry_b, axis=1)                  # (nb, C)
     hit = block_near < T_MAX
     key = jnp.where(hit, block_near, T_MAX)
-    order = jnp.argsort(key, axis=1).astype(jnp.int32)
-    keys_sorted = jnp.take_along_axis(key, order, axis=1)
-    count = jnp.sum(hit, axis=1).astype(jnp.int32)
-    return order, keys_sorted, count
+    return _sort_worklists(key, hit)
 
 
 def _block_worklists_super(origin, direction, cs: ClusterSet, t_max, block: int):
@@ -375,10 +453,7 @@ def _block_worklists_super(origin, direction, cs: ClusterSet, t_max, block: int)
 
     hit = (super_key < T_MAX) & hit_i
     key = jnp.where(hit, jnp.maximum(super_key, lb_i), T_MAX)
-    order = jnp.argsort(key, axis=1).astype(jnp.int32)
-    keys_sorted = jnp.take_along_axis(key, order, axis=1)
-    count = jnp.sum(hit, axis=1).astype(jnp.int32)
-    return order, keys_sorted, count
+    return _sort_worklists(key, hit)
 
 
 def _block_worklists_interval_parts(origin, direction, cs: ClusterSet, t_max,

@@ -238,6 +238,18 @@ def image_frame(cfg: RenderConfig, settings: Settings, cam: Camera,
     # horizontal neighbors before the denoisers see them ----
     from nrdsample_tpu.config import TracingMode
 
+    if (cfg.tracing_mode == TracingMode.FULL_PROBABILISTIC
+            and cfg.denoiser in (Denoiser.REBLUR, Denoiser.RELAX)):
+        # AREA_3X3 hitT reconstruction: probabilistic lobe selection leaves
+        # the unsampled lobe's hit distance at 0 (NRDSample.cpp:548/:569)
+        from nrdsample_tpu.denoise import checkerboard as cb_mod
+
+        gb = dict(
+            gb,
+            diff_hitdist=flat(cb_mod.hitdist_reconstruct_3x3(img(gb["diff_hitdist"]))),
+            spec_hitdist=flat(cb_mod.hitdist_reconstruct_3x3(img(gb["spec_hitdist"]))),
+        )
+
     if cfg.tracing_mode == TracingMode.HALF and full_image:
         from nrdsample_tpu.denoise import checkerboard as cb_mod
 
@@ -310,9 +322,20 @@ def image_frame(cfg: RenderConfig, settings: Settings, cam: Camera,
             img(gb["normal"]), img(gb["roughness"]), img(gb["mv"]), frame, unproj,
             s, is_spec=False, reset=reset_history, confidence=conf_arg,
         )
+        # specular history follows the VIRTUAL image behind the reflector,
+        # not the surface (REBLUR virtual-motion reprojection)
+        from nrdsample_tpu.mathlib import geometry as geo_mod
+
+        x_img = img(gb["primary_x"])
+        eye = cam.view_to_world[:3, 3]
+        vdir = geo_mod.normalize(x_img - eye)
+        mv_spec = reblur.specular_virtual_mv(
+            cam, x_img, vdir, img(gb["spec_hitdist"]), img(gb["roughness"]),
+            img(gb["mv"]), cfg.width, cfg.height, miss=img(gb["miss"]),
+        )
         sp_img, new_rs = reblur.denoise(
             history.reblur_spec, img(spec), img(gb["spec_hitdist"]), img(gb["view_z"]),
-            img(gb["normal"]), img(gb["roughness"]), img(gb["mv"]), frame, unproj,
+            img(gb["normal"]), img(gb["roughness"]), mv_spec, frame, unproj,
             s, is_spec=True, reset=reset_history, confidence=conf_arg,
         )
         diff, spec = flat(d_img), flat(sp_img)
@@ -387,7 +410,22 @@ def image_frame(cfg: RenderConfig, settings: Settings, cam: Camera,
             tm = img(final)  # TAA output is already tonemap-range
         else:
             tm = post.final.tonemap_output(img(composed), exp)
-        tm = post.upscale.lanczos_resize(tm, out_h, out_w)
+        sr_params = None
+        if cfg.use_neural_sr:
+            from nrdsample_tpu.post import guides as guides_mod, neural_sr
+
+            sr_params = neural_sr.load_weights()
+        if sr_params is not None:
+            # learned SR in the DLSS-SR slot (NRDSample.cpp:791-867): residual
+            # CNN over the Lanczos base, conditioned on DlssBefore-style guides
+            sr_guides = {
+                "normal": img(gb["normal"]),
+                "roughness": img(gb["roughness"]),
+                "depth": img(guides_mod.hw_depth(gb["view_z"], 0.01)),
+            }
+            tm = neural_sr.apply(sr_params, tm, sr_guides, out_h, out_w)
+        else:
+            tm = post.upscale.lanczos_resize(tm, out_h, out_w)
         if cfg.use_nis:
             tm = post.nis.sharpen(tm, settings.sharpness)
         # split-screen "noisy" side = pre-denoise signals recomposed

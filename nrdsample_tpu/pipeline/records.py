@@ -23,7 +23,16 @@ import numpy as np
 from nrdsample_tpu.config import Settings
 from nrdsample_tpu.scene.types import Camera
 
-RECORD_VERSION = 1
+RECORD_VERSION = 2
+
+# RenderConfig fields a record may pin (serialized by name; everything else
+# stays at the replay harness's defaults). The reference's 648-byte blob pins
+# the analogous toggles via Settings bit-fields (NRDSample.cpp:1788).
+RENDER_FIELDS = (
+    "denoiser", "tracing_mode", "nrd_mode", "bounce_num", "rpp",
+    "psr_bounce_num", "use_sharc", "use_confidence", "use_taa",
+    "use_translucency", "use_hair_sss", "use_l1_cache",
+)
 
 # Curated watch lists (NRDSample.cpp:58-79 analogue): indices into a scene's
 # record file that are regression-sensitive or known-weak.
@@ -37,8 +46,13 @@ IMPROVE_ME: dict[str, dict[str, list[int]]] = {
 }
 
 
-def record_to_dict(settings: Settings, cam: Camera) -> dict:
-    return {
+def record_to_dict(settings: Settings, cam: Camera,
+                   render: dict | None = None,
+                   animation: dict | None = None) -> dict:
+    """render: RenderConfig overrides (subset of RENDER_FIELDS, enums as int);
+    animation: e.g. {"mode": "orbit", "frames": 3} — replayed as a short
+    multi-frame sequence with moving geometry + camera."""
+    d = {
         "version": RECORD_VERSION,
         "settings": {
             f.name: np.asarray(getattr(settings, f.name)).tolist()
@@ -54,10 +68,19 @@ def record_to_dict(settings: Settings, cam: Camera) -> dict:
             "ortho": float(cam.ortho),
         },
     }
+    if render:
+        unknown = set(render) - set(RENDER_FIELDS)
+        assert not unknown, f"unknown render fields {unknown}"
+        d["render"] = {k: int(v) if not isinstance(v, bool) else v
+                       for k, v in render.items()}
+    if animation:
+        d["animation"] = animation
+    return d
 
 
 def dict_to_record(d: dict) -> tuple[Settings, Camera]:
-    assert d.get("version") == RECORD_VERSION, f"unknown record version {d.get('version')}"
+    assert d.get("version") in (1, RECORD_VERSION), \
+        f"unknown record version {d.get('version')}"
     s = Settings(
         **{
             k: (jnp.int32(v) if isinstance(v, int) else jnp.float32(v))
@@ -101,13 +124,22 @@ def save_record(path: str, settings: Settings, cam: Camera, index: int | None = 
 def load_record(path: str, index: int) -> tuple[Settings, Camera]:
     """Load record by index with volatile-field reset (NRDSample.cpp:1885-1892:
     debug off, jitter on, forced history reset is the caller's job)."""
+    settings, cam, _, _ = load_record_full(path, index)
+    return settings, cam
+
+
+def load_record_full(path: str, index: int
+                     ) -> tuple[Settings, Camera, dict, dict | None]:
+    """(settings, camera, render_overrides, animation|None) — v2 records carry
+    RenderConfig pins + optional animation; v1 records return empty overrides."""
     with open(path) as f:
         records = json.load(f)
-    settings, cam = dict_to_record(records[index])
+    d = records[index]
+    settings, cam = dict_to_record(d)
     settings = dataclasses.replace(
         settings, debug=jnp.float32(0.0), separator=jnp.float32(0.0)
     )
-    return settings, cam
+    return settings, cam, d.get("render", {}), d.get("animation")
 
 
 def count_records(path: str) -> int:

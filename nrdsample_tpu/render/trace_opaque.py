@@ -55,13 +55,22 @@ def generate_ray_and_update_throughput(props: dict, throughput: jnp.ndarray,
                                        is_diffuse: jnp.ndarray, pixel_idx, frame,
                                        dim: int, trim_lobe: bool = True,
                                        em_set: dict | None = None,
-                                       n_candidates: int = 1):
+                                       n_candidates: int = 1,
+                                       use_translucency: bool = False):
     """GenerateRayAndUpdateThroughput (RaytracingShared.hlsli:725-924), minus
-    hair/leaf-transmission. With `em_set` + n_candidates > 1 the direction comes
+    hair. With `em_set` + n_candidates > 1 the direction comes
     from the emissive-IS weighted reservoir (16-candidate light probing,
     RaytracingShared.hlsli:750-839) and throughput gains its multiplier.
 
-    Returns (ray_world [N,3], throughput' [N,3], shading_n' [N,3]).
+    use_translucency enables the leaf-transmit branch
+    (RaytracingShared.hlsli:728, :866-878): diffuse samples on FLAG_LEAF
+    geometry become a flipped cosine lobe with probability LEAF_TRANSLUCENCY,
+    weighted pow01(albedo, 1.2)/p (chlorophyll tint); the non-transmitted leaf
+    diffuse divides by 1-p. IS candidates are light-checked in the reflection
+    frame (the reference flips the check ray, :796-801 — approximation here).
+
+    Returns (ray_world [N,3], throughput' [N,3], shading_n' [N,3],
+    is_transmission [N] bool).
     """
     n = props["n"]
     v = props["v"]
@@ -84,6 +93,13 @@ def generate_ray_and_update_throughput(props: dict, throughput: jnp.ndarray,
         ray_spec_local = geo.reflect(-v_local, h_local)
         ray_local = jnp.where(is_diffuse[..., None], ray_diff_local, ray_spec_local)
 
+    if use_translucency:
+        is_leaf = (props["flags"] & cfgmod.FLAG_LEAF) > 0
+        rnd_t = rng.uniform1(pixel_idx, frame, dim + 7)
+        is_transmission = is_leaf & is_diffuse & (rnd_t < cfgmod.LEAF_TRANSLUCENCY)
+    else:
+        is_transmission = jnp.zeros(is_diffuse.shape, bool)
+
     albedo, f0 = brdf.base_color_to_f0_albedo(props["base_color"], props["metalness"])
     n_dot_l = jnp.clip(ray_local[..., 2], 0.0, 1.0)
     h_full = geo.normalize(v_local + ray_local)
@@ -92,6 +108,11 @@ def generate_ray_and_update_throughput(props: dict, throughput: jnp.ndarray,
 
     # diffuse weight: albedo * pi * Kdiff  (NoL cancelled by cosine sampling)
     k_diff = _burley_diffuse_term(props["roughness"], n_dot_l, n_dot_v, v_dot_h)
+    if use_translucency:
+        # the reflected share of a leaf's diffuse lobe is chosen with
+        # probability 1-p: compensate (RaytracingShared.hlsli:884-885)
+        k_diff = jnp.where(is_leaf, k_diff / (1.0 - cfgmod.LEAF_TRANSLUCENCY),
+                           k_diff)
     w_diff = albedo * (sampling.PI * k_diff)[..., None]
     # specular weight for VNDF sampling: F * G2/G1 = F * G1(L)  (separable Smith;
     # see "Sampling the GGX Distribution of Visible Normals", JCGT 2018 §6)
@@ -99,14 +120,22 @@ def generate_ray_and_update_throughput(props: dict, throughput: jnp.ndarray,
     alpha = props["roughness"] ** 2
     w_spec = f * sampling.smith_g1(n_dot_l, alpha)[..., None]
 
-    throughput = throughput * jnp.where(is_diffuse[..., None], w_diff, w_spec)
+    w = jnp.where(is_diffuse[..., None], w_diff, w_spec)
+    if use_translucency:
+        # Lambert transmit at 1/p weight, chlorophyll-tinted albedo^1.2
+        # (RaytracingShared.hlsli:866-878; NoL and pi cancel as in diffuse)
+        w_trans = geo.pow01(albedo, 1.2) / cfgmod.LEAF_TRANSLUCENCY
+        w = jnp.where(is_transmission[..., None], w_trans, w)
+        ray_local = jnp.where(is_transmission[..., None], -ray_local, ray_local)
+    throughput = throughput * w
 
     ray = sampling.to_world(ray_local, n)
 
-    # Geometric backface fixes (RaytracingShared.hlsli:904-921)
+    # Geometric backface fixes (RaytracingShared.hlsli:904-921); transmitted
+    # rays legitimately point through the surface and are exempt (:907)
     n_geom = props["n_geom"]
     n_dot_l_geom = geo.dot3(n_geom, ray)
-    bad = n_dot_l_geom < 0.0
+    bad = (n_dot_l_geom < 0.0) & jnp.logical_not(is_transmission)
     rough_threshold = jnp.clip(props["roughness"] / 0.15, 0.0, 1.0)
     kill_rnd = rng.uniform1(pixel_idx, frame, dim + 1)
     kill = bad & (is_diffuse | (kill_rnd < rough_threshold))
@@ -119,7 +148,7 @@ def generate_ray_and_update_throughput(props: dict, throughput: jnp.ndarray,
     patch = bad & jnp.logical_not(kill)
     ray = jnp.where(patch[..., None], patched, ray)
     shading_n = jnp.where(patch[..., None], geo.normalize(v + ray), n)
-    return ray, throughput, shading_n
+    return ray, throughput, shading_n, is_transmission
 
 
 def trace_paths(ctx: traversal.TraceContext, scene: Scene, cam: Camera,
@@ -224,9 +253,10 @@ def trace_paths(ctx: traversal.TraceContext, scene: Scene, cam: Camera,
 
             # ---- ray generation + throughput (incl. emissive IS when enabled;
             # USE_IS_FOR_ALL_BOUNCES=1 in the reference, Shared.hlsli:24) ----
-            ray, throughput, shading_n = generate_ray_and_update_throughput(
+            ray, throughput, shading_n, is_trans = generate_ray_and_update_throughput(
                 props, throughput, is_diffuse, pixel_idx, frame, dim_base + 2,
                 em_set=em_set, n_candidates=n_cand,
+                use_translucency=cfg.use_translucency,
             )
             if bounce == 1:
                 first_ray = ray  # SH / DIRECTIONAL_OCCLUSION direction guide
@@ -240,6 +270,11 @@ def trace_paths(ctx: traversal.TraceContext, scene: Scene, cam: Camera,
             xo = geo.offset_ray(
                 props["x"], props["n_geom"], view_z, unproject, cfgmod.PT_BOUNCE_RAY_OFFSET
             )
+            if cfg.use_translucency:
+                # transmitted rays start on the BACK side of the leaf
+                # (X - LEAF_THICKNESS * N, RaytracingShared.hlsli:870)
+                xo_back = props["x"] - props["n_geom"] * cfgmod.LEAF_THICKNESS
+                xo = jnp.where(is_trans[..., None], xo_back, xo)
             # cone: widen at the bounce surface (curvature + roughness), grow
             # over the segment (RaytracingShared.hlsli:389-397 ray-cone mip)
             cone = raycone.reflect(

@@ -211,6 +211,11 @@ def load_gltf(path: str, max_emissive: int = 256, load_textures: bool = True,
         if m.get("alphaMode") == "MASK":
             # alpha-tested foliage etc -> any-hit alpha test
             fl |= config.FLAG_ALPHA_TEST
+        # name-tagged foliage gets the leaf-translucency branch (the reference
+        # loader sets material.isLeaf the same way; NRDSample.cpp:3544-3545)
+        mname = m.get("name", "").lower()
+        if "leaf" in mname or "foliage" in mname:
+            fl |= config.FLAG_LEAF
         flags.append(fl)
     if not mats:
         base_color, metalness, roughness = [[0.8, 0.8, 0.8]], [0.0], [0.9]
@@ -310,3 +315,118 @@ def _flat_normals(verts: np.ndarray, idx: np.ndarray) -> np.ndarray:
     return (n / np.maximum(np.linalg.norm(n, axis=-1, keepdims=True), 1e-20)).astype(
         np.float32
     )
+
+
+# ---------------------------------------------------------------------------
+# Exporter: Scene -> .glb
+# ---------------------------------------------------------------------------
+
+def save_glb(scene: Scene, path: str):
+    """Write a Scene back out as a binary glTF (.glb).
+
+    The reference consumes production scenes as glTF (NRDSample.cpp:2197-2241);
+    this exporter lets any procedurally built scene (including the ~1M-tri
+    exterior) round-trip through the SAME production load path (`load_gltf`),
+    proving the data layer at asset scale without shipping binary assets.
+
+    One mesh primitive per material (unindexed triangle soup from the SoA);
+    material params map back to pbrMetallicRoughness + KHR extensions, with
+    FLAG_TRANSPARENT -> KHR_materials_transmission, FLAG_ALPHA_TEST ->
+    alphaMode MASK and FLAG_LEAF -> a "leaf" material name (the loader's
+    foliage tag, mirroring the reference's isLeaf)."""
+    tris = scene.tris
+    p0 = np.asarray(tris.p0, np.float32)
+    p1 = p0 + np.asarray(tris.e1, np.float32)
+    p2 = p0 + np.asarray(tris.e2, np.float32)
+    n = [np.asarray(getattr(tris, f"n{k}"), np.float32) for k in range(3)]
+    uv = [np.asarray(getattr(tris, f"uv{k}"), np.float32) for k in range(3)]
+    tri_mat = np.asarray(tris.material, np.int32)
+    mats = scene.materials
+    m_bc = np.asarray(mats.base_color, np.float32)
+    m_metal = np.asarray(mats.metalness, np.float32)
+    m_rough = np.asarray(mats.roughness, np.float32)
+    m_em = np.asarray(mats.emission, np.float32)
+    m_ior = np.asarray(mats.ior, np.float32)
+    m_fl = np.asarray(mats.flags, np.int32)
+
+    bin_parts: list[bytes] = []
+    views, accessors, materials_json, primitives = [], [], [], []
+
+    def add_accessor(arr: np.ndarray, gltf_type: str, with_minmax=False):
+        data = np.ascontiguousarray(arr, np.float32)
+        offset = sum(len(b) for b in bin_parts)
+        raw = data.tobytes()
+        bin_parts.append(raw + b"\0" * ((4 - len(raw) % 4) % 4))
+        views.append({"buffer": 0, "byteOffset": offset, "byteLength": len(raw)})
+        acc = {"bufferView": len(views) - 1, "componentType": 5126,
+               "count": len(data), "type": gltf_type}
+        if with_minmax:
+            acc["min"] = data.min(axis=0).tolist()
+            acc["max"] = data.max(axis=0).tolist()
+        accessors.append(acc)
+        return len(accessors) - 1
+
+    for mi in range(len(m_bc)):
+        sel = tri_mat == mi
+        if not sel.any():
+            continue
+        pos = np.concatenate([p0[sel], p1[sel], p2[sel]])
+        # interleave back to per-vertex order (v0 v1 v2 per tri)
+        order = np.arange(len(pos)).reshape(3, -1).T.reshape(-1)
+        pos = pos[order]
+        nrm = np.concatenate([n[0][sel], n[1][sel], n[2][sel]])[order]
+        tc = np.concatenate([uv[0][sel], uv[1][sel], uv[2][sel]])[order]
+        primitives.append({
+            "attributes": {
+                "POSITION": add_accessor(pos, "VEC3", with_minmax=True),
+                "NORMAL": add_accessor(nrm, "VEC3"),
+                "TEXCOORD_0": add_accessor(tc, "VEC2"),
+            },
+            "material": len(materials_json),
+            "mode": 4,
+        })
+        fl = int(m_fl[mi])
+        em = m_em[mi]
+        strength = float(em.max())
+        mat = {
+            "name": ("leaf_" if fl & config.FLAG_LEAF else "") + f"mat{mi}",
+            "pbrMetallicRoughness": {
+                "baseColorFactor": m_bc[mi].tolist() + [1.0],
+                "metallicFactor": float(m_metal[mi]),
+                "roughnessFactor": float(m_rough[mi]),
+            },
+            "extensions": {"KHR_materials_ior": {"ior": float(m_ior[mi])}},
+        }
+        if strength > 0:
+            mat["emissiveFactor"] = (em / max(strength, 1e-9)).tolist()
+            mat["extensions"]["KHR_materials_emissive_strength"] = {
+                "emissiveStrength": strength}
+        if fl & config.FLAG_TRANSPARENT:
+            mat["extensions"]["KHR_materials_transmission"] = {
+                "transmissionFactor": 1.0}
+        if fl & config.FLAG_ALPHA_TEST:
+            mat["alphaMode"] = "MASK"
+        materials_json.append(mat)
+
+    blob = b"".join(bin_parts)
+    doc = {
+        "asset": {"version": "2.0", "generator": "nrdsample_tpu"},
+        "scene": 0,
+        "scenes": [{"nodes": [0]}],
+        "nodes": [{"mesh": 0}],
+        "meshes": [{"primitives": primitives}],
+        "materials": materials_json,
+        "buffers": [{"byteLength": len(blob)}],
+        "bufferViews": views,
+        "accessors": accessors,
+        "extensionsUsed": ["KHR_materials_ior",
+                           "KHR_materials_emissive_strength",
+                           "KHR_materials_transmission"],
+    }
+    js = json.dumps(doc).encode()
+    js += b" " * ((4 - len(js) % 4) % 4)
+    total = 12 + 8 + len(js) + 8 + len(blob)
+    with open(path, "wb") as f:
+        f.write(struct.pack("<III", 0x46546C67, 2, total))
+        f.write(struct.pack("<II", len(js), 0x4E4F534A) + js)
+        f.write(struct.pack("<II", len(blob), 0x004E4942) + blob)

@@ -526,7 +526,10 @@ def exterior(blocks: int = 4, window_grid: int = 6, cobbles: int = 60,
         "emission": [[0, 0, 0]] * 7 + [[40.0, 36.0, 28.0], [25.0, 8.0, 17.0]],
         "ior": [1.5] * 9,
         "flags": [config.FLAG_NON_TRANSPARENT] * 4 + [
-            config.FLAG_TRANSPARENT if glass else config.FLAG_NON_TRANSPARENT
-        ] + [config.FLAG_NON_TRANSPARENT] * 4,
+            config.FLAG_TRANSPARENT if glass else config.FLAG_NON_TRANSPARENT,
+            # tree canopies transmit light (FLAG_LEAF -> leaf-translucency
+            # branch in trace_opaque, NRDSample.cpp:3545)
+            config.FLAG_NON_TRANSPARENT | config.FLAG_LEAF,
+        ] + [config.FLAG_NON_TRANSPARENT] * 3,
     }
     return _assemble(parts, materials, max_emissive=256)

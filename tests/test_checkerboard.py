@@ -66,3 +66,20 @@ def test_half_mode_ray_budget_is_half():
     n_half = cfg_half.rpp * (2 if cfg_half.tracing_mode == TracingMode.FULL else 1)
     n_full = cfg_full.rpp * (2 if cfg_full.tracing_mode == TracingMode.FULL else 1)
     assert n_full == 2 * n_half
+
+
+def test_hitdist_reconstruct_3x3():
+    """AREA_3X3 hitT reconstruction (NRDSample.cpp:548): zeros fill from valid
+    3x3 neighbors; valid pixels pass through; empty neighborhoods stay zero."""
+    hd = np.zeros((8, 8), np.float32)
+    hd[2, 2] = 4.0
+    hd[2, 4] = 8.0
+    out = np.asarray(cb_mod.hitdist_reconstruct_3x3(jnp.asarray(hd)))
+    # valid passes through
+    assert out[2, 2] == 4.0 and out[2, 4] == 8.0
+    # between the two: average of both valid neighbors
+    assert out[2, 3] == 6.0
+    # adjacent to only one: takes that one
+    assert out[1, 1] == 4.0
+    # far corner has no valid neighbor -> stays 0
+    assert out[7, 7] == 0.0

@@ -213,3 +213,40 @@ class TestTextures:
         tri = np.asarray(res["tri"])
         assert tri[0] < 0    # passed through
         assert tri[1] >= 0   # blocked
+
+
+def test_glb_roundtrip_exterior(tmp_path):
+    """Scene -> save_glb -> load_gltf roundtrip (the production-asset path,
+    NRDSample.cpp:2197-2241): geometry, material params, and the
+    TRANSPARENT/LEAF/ALPHA_TEST flag mapping all survive."""
+    from nrdsample_tpu.scene import procedural
+
+    scene = procedural.exterior(blocks=2, window_grid=2, cobbles=6,
+                                tree_count=4, tree_res=6, lamp_count=2)
+    path = str(tmp_path / "exterior.glb")
+    gltf.save_glb(scene, path)
+    loaded = gltf.load_gltf(path)
+
+    assert loaded.tris.count == scene.tris.count
+    # bounding box preserved
+    for src, dst in ((scene.tris.p0, loaded.tris.p0),):
+        np.testing.assert_allclose(np.asarray(src).min(0),
+                                   np.asarray(dst).min(0), atol=1e-4)
+        np.testing.assert_allclose(np.asarray(src).max(0),
+                                   np.asarray(dst).max(0), atol=1e-4)
+    # flags: glass stayed transparent, leaves stayed tagged
+    src_fl = np.asarray(scene.materials.flags)
+    dst_fl = np.asarray(loaded.materials.flags)
+    assert (dst_fl & config.FLAG_TRANSPARENT).any() == (
+        src_fl & config.FLAG_TRANSPARENT).any()
+    assert (dst_fl & config.FLAG_LEAF).any()
+    # per-triangle material params survive (possibly renumbered): compare
+    # base colors gathered per triangle
+    src_bc = np.asarray(scene.materials.base_color)[np.asarray(scene.tris.material)]
+    dst_bc = np.asarray(loaded.materials.base_color)[np.asarray(loaded.tris.material)]
+    # same triangle ORDER is not guaranteed (grouped by material); compare sets
+    np.testing.assert_allclose(np.sort(src_bc.sum(1)), np.sort(dst_bc.sum(1)),
+                               atol=1e-5)
+    # emission scale preserved
+    assert np.isclose(np.asarray(scene.materials.emission).max(),
+                      np.asarray(loaded.materials.emission).max(), atol=1e-3)

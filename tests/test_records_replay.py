@@ -1,29 +1,39 @@
 """Replay the shipped Tests/*.json settings+camera records — the Tests/*.bin
-regression mechanism (SURVEY.md §4.1): each record renders without error and
-the curated CHECK_ME records render deterministically (replay twice, identical
-output — the whole frame is a pure function of (record, frame index))."""
+regression mechanism (SURVEY.md §4.1, NRDSample.cpp:1788): each record renders
+without error under ITS OWN pinned render config (v2 records carry denoiser /
+SHARC / PSR / checkerboard / TAA pins), animated records advance a short
+camera orbit with history carried across frames, and the curated CHECK_ME
+records render deterministically (replay twice, identical output — the whole
+frame is a pure function of (record, frame index))."""
 
+import dataclasses
 import os
 
 import numpy as np
 import jax.numpy as jnp
 import pytest
 
-from nrdsample_tpu.config import Denoiser, RenderConfig, TracingMode
+from nrdsample_tpu.config import Denoiser, NrdMode, RenderConfig, TracingMode
 from nrdsample_tpu.ops import traversal
 from nrdsample_tpu.pipeline import frame as frame_mod, records
 from nrdsample_tpu.scene import procedural
+from nrdsample_tpu.scene.types import look_at
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 RES = 32
 
 SCENES = {
     "cornellbox": procedural.cornell_box,
+    "cornellbox-glass": procedural.cornell_box_glass,
     "kitchen": procedural.kitchen,
     "shaderballs": lambda: procedural.shader_balls(grid=2, sphere_res=12),
     "interior-night": lambda: procedural.interior_night(n_lights=8, grid=2,
                                                         sphere_res=10),
+    "exterior": lambda: procedural.exterior(blocks=2, window_grid=2, cobbles=8,
+                                            tree_count=6, tree_res=8,
+                                            lamp_count=4),
 }
+GLASS_SCENES = {"cornellbox-glass", "exterior"}
 
 
 def _record_ids():
@@ -35,25 +45,71 @@ def _record_ids():
     return out
 
 
+def _cfg_from_render(render: dict) -> RenderConfig:
+    kw = dict(width=RES, height=RES, rpp=1, bounce_num=1,
+              tracing_mode=TracingMode.FULL_PROBABILISTIC,
+              denoiser=Denoiser.REFERENCE)
+    enums = {"denoiser": Denoiser, "tracing_mode": TracingMode,
+             "nrd_mode": NrdMode}
+    for k, v in render.items():
+        kw[k] = enums[k](v) if k in enums else v
+    if kw.get("use_sharc"):
+        kw["sharc_capacity"] = 1 << 14  # full 4M table is a TPU-scale default
+    return RenderConfig(**kw)
+
+
+def _orbit_cam(cam, step: int, total: int):
+    """Small camera orbit around the look target: rotate eye by a few degrees
+    per frame about world z, threading view_to_world_prev correctly."""
+    def at(i):
+        ang = np.deg2rad(4.0 * i)
+        v2w = np.asarray(cam.view_to_world)
+        eye = v2w[:3, 3]
+        c, s = np.cos(ang), np.sin(ang)
+        rot = np.array([[c, -s, 0.0], [s, c, 0.0], [0.0, 0.0, 1.0]], np.float32)
+        new_eye = rot @ eye
+        # keep looking at the same point the original camera looked at
+        fwd = v2w[:3, 2]
+        target = eye + fwd * 3.0
+        return look_at(eye=new_eye.tolist(), target=(rot @ target).tolist(),
+                       fov_y_deg=60.0)
+    cur = at(step)
+    prev = at(max(step - 1, 0))
+    return dataclasses.replace(
+        cur,
+        view_to_world_prev=prev.view_to_world,
+        tan_half_fov_y=cam.tan_half_fov_y,
+        aspect=cam.aspect,
+    )
+
+
 @pytest.fixture(scope="module")
 def contexts():
-    return {name: traversal.build_context(fn()) for name, fn in SCENES.items()}
+    out = {}
+    for name, fn in SCENES.items():
+        scene = fn()
+        if name in GLASS_SCENES:
+            out[name] = traversal.build_scene_contexts(scene)
+        else:
+            out[name] = traversal.build_context(scene)
+    return out
 
 
 @pytest.mark.parametrize("scene_name,index", _record_ids())
 def test_record_renders(contexts, scene_name, index):
     path = os.path.join(REPO, "Tests", f"{scene_name}.json")
-    settings, cam = records.load_record(path, index)
+    settings, cam, render, animation = records.load_record_full(path, index)
     ctx, scene = contexts[scene_name]
-    cfg = RenderConfig(
-        width=RES, height=RES, rpp=1, bounce_num=1,
-        tracing_mode=TracingMode.FULL_PROBABILISTIC,
-        denoiser=Denoiser.REFERENCE,
-    )
-    out, _ = frame_mod.render_frame(
-        ctx, scene, cam, cfg, settings, frame_mod.History.create(cfg),
-        reset_history=True,  # forced history reset on record load
-    )
+    cfg = _cfg_from_render(render)
+    hist = frame_mod.History.create(cfg)
+    frames = (animation or {}).get("frames", 1)
+    out = None
+    for step in range(frames):
+        frame_cam = _orbit_cam(cam, step, frames) if animation else cam
+        out, hist = frame_mod.render_frame(
+            ctx, scene, frame_cam, cfg, settings, hist,
+            reset_history=(step == 0),  # forced history reset on record load
+        )
     img = np.asarray(out["color"])
     assert np.isfinite(img).all()
     assert img.max() > 0.0
@@ -64,18 +120,52 @@ def test_check_me_deterministic(contexts, index):
     """checkMe records are the regression-sensitive set: the replay must be
     bit-deterministic (failure recovery story, SURVEY.md §5.3)."""
     path = os.path.join(REPO, "Tests", "cornellbox.json")
-    settings, cam = records.load_record(path, index)
+    settings, cam, render, _ = records.load_record_full(path, index)
     ctx, scene = contexts["cornellbox"]
-    cfg = RenderConfig(width=RES, height=RES, rpp=1, bounce_num=1,
-                       tracing_mode=TracingMode.FULL_PROBABILISTIC,
-                       denoiser=Denoiser.REFERENCE)
+    cfg = _cfg_from_render(render)
 
-    def render():
+    def render_once():
         out, _ = frame_mod.render_frame(
             ctx, scene, cam, cfg, settings, frame_mod.History.create(cfg)
         )
         return np.asarray(out["color"])
 
-    a = render()
-    b = render()
+    a = render_once()
+    b = render_once()
     np.testing.assert_array_equal(a, b)
+
+
+def test_corpus_size():
+    """The shipped corpus stays at reference-meaningful density (the reference
+    ships 343 .bin records; VERDICT r1 floor for this repo is 60)."""
+    total = sum(records.count_records(os.path.join(REPO, "Tests", f"{s}.json"))
+                for s in SCENES)
+    assert total >= 60, total
+
+
+def test_corpus_covers_feature_matrix():
+    """At least one record pins each headline feature combination."""
+    import json
+    seen = set()
+    for s in SCENES:
+        path = os.path.join(REPO, "Tests", f"{s}.json")
+        if not os.path.exists(path):
+            continue
+        for d in json.load(open(path)):
+            r = d.get("render", {})
+            if r.get("use_sharc"):
+                seen.add("sharc")
+            if r.get("psr_bounce_num", 0) > 0:
+                seen.add("psr")
+            if r.get("tracing_mode") == int(TracingMode.HALF):
+                seen.add("checkerboard")
+            if r.get("use_taa"):
+                seen.add("taa")
+            if r.get("use_confidence"):
+                seen.add("confidence")
+            if d.get("animation"):
+                seen.add("animated")
+            if s in GLASS_SCENES and "denoiser" in r:
+                seen.add("glass")
+    assert seen >= {"sharc", "psr", "checkerboard", "taa", "confidence",
+                    "animated", "glass"}, seen

@@ -72,14 +72,16 @@ def test_sharded_frame_matches_single_chip(tracing_mode):
     for _ in range(2):
         out_b, hist_b = fn(scene, cam, settings, hist_b, pixel_idx)
 
+    # atol 5e-5 on O(1) radiance: GSPMD halo partitioning of the image-phase
+    # stencils reassociates float adds, so the last bit can differ per shard
     np.testing.assert_allclose(
-        np.asarray(out_b["color"]), np.asarray(out_a["color"]), atol=1e-5
+        np.asarray(out_b["color"]), np.asarray(out_a["color"]), atol=5e-5
     )
     np.testing.assert_allclose(
-        np.asarray(out_b["final"]), np.asarray(out_a["final"]), atol=1e-5
+        np.asarray(out_b["final"]), np.asarray(out_a["final"]), atol=5e-5
     )
     np.testing.assert_allclose(
-        np.asarray(out_b["shadow"]), np.asarray(out_a["shadow"]), atol=1e-5
+        np.asarray(out_b["shadow"]), np.asarray(out_a["shadow"]), atol=5e-5
     )
     # the ENTIRE history pytree matches: denoiser temporal state, SHARC table,
     # confidence, L1 — next frames stay identical too

@@ -1,0 +1,236 @@
+"""Generate the shipped regression-record corpus (Tests/*.json).
+
+The reference ships 343 serialized Settings+camera states across its scenes
+(Tests/*.bin, NRDSample.cpp:1788); this builds our curated v2 corpus: per
+scene, a sweep over lighting/material/denoiser/feature combinations including
+SHARC, PSR, glass+SIGMA, checkerboard, and animated records. Existing records
+(v1, referenced by index from the CHECK_ME/IMPROVE_ME watch lists) are
+preserved; new records are appended deterministically — rerunning the tool is
+idempotent (it truncates back to the preserved prefix first).
+
+CPU-only; run from anywhere: python tools/make_records.py
+"""
+import sys, os; sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+jax.config.update("jax_platforms", "cpu")
+
+import dataclasses
+import json
+
+import jax.numpy as jnp
+
+from nrdsample_tpu.config import Denoiser, NrdMode, Settings, TracingMode
+from nrdsample_tpu.pipeline import records
+from nrdsample_tpu.scene.types import look_at
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+TESTS = os.path.join(REPO, "Tests")
+
+# how many leading records are the legacy v1 prefix to preserve per scene
+PRESERVE = {"cornellbox": 3, "cornellbox-glass": 2, "kitchen": 2,
+            "shaderballs": 6, "interior-night": 4, "exterior": 0}
+
+CAMS = {
+    "cornellbox": ([0.0, -3.2, 1.0], [0.0, 0.0, 1.0], 39.0),
+    "cornellbox-glass": ([0.0, -3.2, 1.0], [0.0, 0.0, 1.0], 39.0),
+    "shaderballs": ([0.0, -9.0, 4.5], [0.0, 0.0, 0.8], 50.0),
+    "kitchen": ([0.0, -1.6, 1.6], [0.0, 1.5, 1.2], 65.0),
+    "interior-night": ([0.0, -3.5, 1.8], [0.0, 1.5, 1.2], 60.0),
+    "exterior": ([0.0, -24.0, 9.0], [0.0, 6.0, 3.0], 55.0),
+}
+
+
+def cam_for(scene, d_eye=(0, 0, 0), d_tgt=(0, 0, 0), fov=None,
+            aperture=0.0, focal=0.0):
+    eye, tgt, f = CAMS[scene]
+    eye = [a + b for a, b in zip(eye, d_eye)]
+    tgt = [a + b for a, b in zip(tgt, d_tgt)]
+    cam = look_at(eye=eye, target=tgt, fov_y_deg=fov or f)
+    if aperture:
+        cam = dataclasses.replace(cam, aperture=jnp.float32(aperture),
+                                  focal_distance=jnp.float32(focal))
+    return cam
+
+
+def S(**kw):
+    kw = {k: (jnp.int32(v) if isinstance(v, (bool, int)) else jnp.float32(v))
+          for k, v in kw.items()}
+    return dataclasses.replace(Settings(), **kw)
+
+
+def build_corpus():
+    """scene -> list of (settings, camera, render, animation)."""
+    REB, REL = int(Denoiser.REBLUR), int(Denoiser.RELAX)
+    out = {}
+
+    # --- cornellbox: denoiser/bounce/light sweeps + animated orbit ---
+    out["cornellbox"] = [
+        (S(disable_shadows=1, sun_elevation=-30.0), cam_for("cornellbox"),
+         {"denoiser": REB, "bounce_num": 1}, None),
+        (S(disable_shadows=1, sun_elevation=-30.0), cam_for("cornellbox"),
+         {"denoiser": REL, "bounce_num": 1}, None),
+        (S(disable_shadows=1, sun_elevation=-30.0, max_accumulated_frame_num=7),
+         cam_for("cornellbox", d_eye=(0.4, 0.2, 0.3)),
+         {"denoiser": REL, "bounce_num": 2}, None),
+        (S(disable_shadows=1, sun_elevation=-30.0, emission_intensity=4.0),
+         cam_for("cornellbox", d_eye=(-0.5, 0.0, -0.2)),
+         {"denoiser": REB, "bounce_num": 2, "rpp": 2}, None),
+        (S(disable_shadows=1, sun_elevation=-30.0),
+         cam_for("cornellbox", fov=55.0),
+         {"denoiser": REB, "nrd_mode": int(NrdMode.OCCLUSION)}, None),
+        (S(disable_shadows=1, sun_elevation=-30.0),
+         cam_for("cornellbox"),
+         {"denoiser": REB, "nrd_mode": int(NrdMode.SH)}, None),
+        (S(disable_shadows=1, sun_elevation=-30.0, roughness_override=0.8),
+         cam_for("cornellbox", d_eye=(0.0, -0.6, 0.0)),
+         {"denoiser": REL}, None),
+        (S(disable_shadows=1, sun_elevation=-30.0, min_probability=0.2),
+         cam_for("cornellbox"),
+         {"denoiser": REB, "tracing_mode": int(TracingMode.FULL)}, None),
+        (S(disable_shadows=1, sun_elevation=-30.0),
+         cam_for("cornellbox"),
+         {"denoiser": REB, "tracing_mode": int(TracingMode.HALF)}, None),
+        (S(disable_shadows=1, sun_elevation=-30.0),
+         cam_for("cornellbox", d_eye=(0.2, 0.0, 0.1)),
+         {"denoiser": REL, "use_taa": True}, None),
+        (S(disable_shadows=1, sun_elevation=-30.0),
+         cam_for("cornellbox"),
+         {"denoiser": REL, "bounce_num": 1},
+         {"mode": "orbit", "frames": 3}),
+        (S(disable_shadows=1, sun_elevation=-30.0, exposure=40.0),
+         cam_for("cornellbox", aperture=0.05, focal=3.2),
+         {"denoiser": REB}, None),
+    ]
+
+    # --- cornellbox-glass: SIGMA penumbra + glass/delta-chain combos ---
+    out["cornellbox-glass"] = [
+        (S(sun_elevation=60.0, sun_azimuth=-30.0), cam_for("cornellbox-glass"),
+         {"denoiser": REB, "use_translucency": True}, None),
+        (S(sun_elevation=35.0), cam_for("cornellbox-glass", d_eye=(0.5, 0, 0)),
+         {"denoiser": REL, "use_translucency": True}, None),
+        (S(sun_elevation=60.0, sun_angular_diameter=2.0),
+         cam_for("cornellbox-glass"),
+         {"denoiser": REB}, None),          # wide penumbra record
+        (S(sun_elevation=60.0), cam_for("cornellbox-glass"),
+         {"denoiser": REB, "use_translucency": False}, None),
+        (S(sun_elevation=60.0), cam_for("cornellbox-glass", d_eye=(0, -0.8, 0.4)),
+         {"denoiser": REL, "bounce_num": 2}, None),
+        (S(sun_elevation=20.0, sun_azimuth=100.0),
+         cam_for("cornellbox-glass"),
+         {"denoiser": REB}, {"mode": "orbit", "frames": 3}),
+        (S(sun_elevation=60.0, roughness_override=0.3),
+         cam_for("cornellbox-glass"),
+         {"denoiser": REL}, None),
+        (S(sun_elevation=60.0), cam_for("cornellbox-glass", fov=30.0),
+         {"denoiser": REB, "rpp": 2}, None),
+        (S(sun_elevation=-30.0, disable_shadows=1),
+         cam_for("cornellbox-glass"),
+         {"denoiser": REL}, None),          # emissive-only glass
+        (S(sun_elevation=60.0),
+         cam_for("cornellbox-glass", d_eye=(-0.4, 0.1, 0.2)),
+         {"denoiser": REB, "use_taa": True}, None),
+    ]
+
+    # --- kitchen: PSR + SHARC + confidence ---
+    out["kitchen"] = [
+        (S(sun_elevation=45.0), cam_for("kitchen"),
+         {"denoiser": REB, "psr_bounce_num": 1}, None),
+        (S(sun_elevation=45.0), cam_for("kitchen"),
+         {"denoiser": REL, "psr_bounce_num": 2}, None),
+        (S(sun_elevation=45.0), cam_for("kitchen", d_eye=(0.3, -0.2, 0.2)),
+         {"denoiser": REB, "use_sharc": True}, None),
+        (S(sun_elevation=45.0, prev_frame_confidence=0.5),
+         cam_for("kitchen"),
+         {"denoiser": REB, "use_sharc": True, "use_confidence": True}, None),
+        (S(sun_elevation=10.0, sun_azimuth=30.0), cam_for("kitchen"),
+         {"denoiser": REL, "bounce_num": 2}, None),
+        (S(sun_elevation=45.0), cam_for("kitchen"),
+         {"denoiser": REB, "use_l1_cache": True}, None),
+        (S(sun_elevation=45.0, metalness_override=0.9),
+         cam_for("kitchen", fov=50.0),
+         {"denoiser": REL}, None),
+        (S(sun_elevation=45.0), cam_for("kitchen"),
+         {"denoiser": REB}, {"mode": "orbit", "frames": 3}),
+    ]
+
+    # --- shaderballs: material sweeps, checkerboard, SH ---
+    out["shaderballs"] = [
+        (S(sun_elevation=45.0, roughness_override=r), cam_for("shaderballs"),
+         {"denoiser": REB}, None)
+        for r in (0.05, 0.25, 0.55)
+    ] + [
+        (S(sun_elevation=45.0, metalness_override=0.95),
+         cam_for("shaderballs", d_eye=(1.0, 0.5, -0.5)),
+         {"denoiser": REL}, None),
+        (S(sun_elevation=45.0), cam_for("shaderballs"),
+         {"denoiser": REB, "tracing_mode": int(TracingMode.HALF)}, None),
+        (S(sun_elevation=45.0), cam_for("shaderballs"),
+         {"denoiser": REL, "nrd_mode": int(NrdMode.SH)}, None),
+        (S(sun_elevation=45.0), cam_for("shaderballs"),
+         {"denoiser": REB, "use_taa": True}, None),
+        (S(sun_elevation=8.0, sun_azimuth=170.0),
+         cam_for("shaderballs", fov=35.0),
+         {"denoiser": REB, "bounce_num": 2}, None),  # grazing sun
+    ]
+
+    # --- interior-night: emissive-dominated + SHARC + hair/sss + animated ---
+    out["interior-night"] = [
+        (S(disable_shadows=1, emission_intensity=e),
+         cam_for("interior-night"),
+         {"denoiser": REB, "bounce_num": 2}, None)
+        for e in (0.25, 1.0, 6.0)
+    ] + [
+        (S(disable_shadows=1), cam_for("interior-night", d_eye=(0.5, 0, 0.3)),
+         {"denoiser": REL, "use_sharc": True}, None),
+        (S(disable_shadows=1, prev_frame_confidence=0.7),
+         cam_for("interior-night"),
+         {"denoiser": REB, "use_sharc": True, "use_confidence": True}, None),
+        (S(disable_shadows=1), cam_for("interior-night"),
+         {"denoiser": REB, "use_hair_sss": True}, None),
+        (S(disable_shadows=1), cam_for("interior-night"),
+         {"denoiser": REL}, {"mode": "orbit", "frames": 3}),
+        (S(disable_shadows=1, max_accumulated_frame_num=63),
+         cam_for("interior-night", fov=75.0),
+         {"denoiser": REL, "rpp": 2}, None),
+    ]
+
+    # --- exterior: sun-lit large scene (new file) ---
+    out["exterior"] = [
+        (S(sun_elevation=el, sun_azimuth=az), cam_for("exterior"),
+         {"denoiser": den}, None)
+        for el, az, den in ((60.0, -147.0, REB), (25.0, -90.0, REL),
+                            (5.0, -147.0, REB))
+    ] + [
+        (S(sun_elevation=60.0), cam_for("exterior", d_eye=(8.0, 4.0, -2.0)),
+         {"denoiser": REL, "bounce_num": 2}, None),
+        (S(sun_elevation=60.0, sun_angular_diameter=1.5),
+         cam_for("exterior"),
+         {"denoiser": REB}, None),
+        (S(sun_elevation=60.0), cam_for("exterior"),
+         {"denoiser": REB, "use_sharc": True}, None),
+    ]
+    return out
+
+
+def main():
+    corpus = build_corpus()
+    total = 0
+    for scene, recs in corpus.items():
+        path = os.path.join(TESTS, f"{scene}.json")
+        existing = []
+        if os.path.exists(path):
+            with open(path) as f:
+                existing = json.load(f)
+        keep = existing[: PRESERVE.get(scene, 0)]
+        new = [records.record_to_dict(s, c, render=r, animation=a)
+               for s, c, r, a in recs]
+        with open(path, "w") as f:
+            json.dump(keep + new, f, indent=1)
+        total += len(keep) + len(new)
+        print(f"{scene}: {len(keep)} preserved + {len(new)} new")
+    print(f"total records: {total}")
+
+
+if __name__ == "__main__":
+    main()
