@@ -129,9 +129,13 @@ def run_config(name: str, spec: dict, n_iter: int = 8) -> dict:
     settings = Settings(**skw)
     history = frame_mod.History.create(cfg)
 
-    @jax.jit
+    # staged frame: separate jit programs per phase so history gathers run in
+    # a dedicated gathers-only program (the fast TPU gather emitter; see
+    # denoise/gatherpass.py). Do NOT wrap in an outer jit.
+    frame_fn = frame_mod.make_staged_frame(ctx, cfg)
+
     def step(history):
-        out, new_h = frame_mod.render_frame(ctx, scene, cam, cfg, settings, history)
+        out, new_h = frame_fn(scene, cam, settings, history)
         return out["color"], new_h
 
     color, history = step(history)  # compile + warmup
@@ -181,11 +185,26 @@ def bench_denoise(size: int = 512, n_iter: int = 10) -> dict:
     # all planes are jit ARGUMENTS (closure-captured arrays become HLO
     # constants that axon re-uploads over the tunnel every call), and the
     # history cycles through the step so entry layouts reach steady state
-    # (a mismatched history layout costs a ~260 ms/call relayout transfer)
+    # (a mismatched history layout costs a ~260 ms/call relayout transfer).
+    # Staged: the history gather runs as its own program (gatherpass).
+    from nrdsample_tpu.mathlib import filtering
+
     @jax.jit
-    def dn(hist, img, vz, nrm, mv):
-        out, new_h = relax.denoise(hist, img, vz, nrm, mv)
+    def dn_plan(hist, mv):
+        return relax.taccum_requests(hist, mv[..., :2])
+
+    @jax.jit
+    def dn_gather(plane, pos):
+        return filtering.sample_bilinear_block(plane, pos)
+
+    @jax.jit
+    def dn_finish(hist, img, vz, nrm, mv, pre):
+        out, new_h = relax.denoise(hist, img, vz, nrm, mv, pre=pre)
         return out, new_h
+
+    def dn(hist, img, vz, nrm, mv):
+        plane, pos = dn_plan(hist, mv)
+        return dn_finish(hist, img, vz, nrm, mv, dn_gather(plane, pos))
 
     out_d, rh = dn(rh, rs_img, vz, nrm, mv)
     out_d, rh = dn(rh, rs_img, vz, nrm, mv)

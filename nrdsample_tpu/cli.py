@@ -103,7 +103,7 @@ def cmd_render(args) -> int:
         file=sys.stderr,
     )
 
-    frame_fn = frame_mod.make_jitted_frame(ctx, cfg)
+    frame_fn = frame_mod.make_staged_frame(ctx, cfg)
     history = frame_mod.History.create(cfg)
     t0 = time.perf_counter()
     out = None

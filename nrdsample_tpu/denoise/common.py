@@ -10,7 +10,6 @@ prev_pos = cur_pos + mv.xy, mv.z = viewZprev - viewZ.
 
 from __future__ import annotations
 
-import jax
 import jax.numpy as jnp
 
 from nrdsample_tpu.mathlib import filtering
@@ -55,7 +54,9 @@ def pixel_positions(h: int, w: int) -> jnp.ndarray:
 def reproject(prev: jnp.ndarray, mv_xy: jnp.ndarray, bicubic: bool = False) -> jnp.ndarray:
     """Sample the previous-frame image at cur + mv (bilinear or 5-tap bicubic).
 
-    prev: [H, W, C]; mv_xy: [H, W, 2] in pixels.
+    prev: [H, W, C]; mv_xy: [H, W, 2] in pixels. Uses the robust tap gathers —
+    safe in any program; the staged frame pre-gathers with the fast block form
+    instead (denoise/gatherpass.py).
     """
     pos = pixel_positions(prev.shape[0], prev.shape[1]) + mv_xy
     if bicubic:
@@ -90,6 +91,10 @@ def reproject_many(planes: list, mv_xy: jnp.ndarray) -> list:
     (H, W, sum C) array first makes it 4 gathers TOTAL (the same wide-gather
     trick as the traversal sort path — measured ~3x on the denoiser stack).
     planes: list of (H, W) or (H, W, C); returns same-shape reprojections.
+
+    NOTE: the production denoisers now plan packed gathers explicitly
+    (taccum_requests / requests) so the staged gather pass can run them with
+    the fast block emitter; this helper remains for ad-hoc reprojection.
     """
     chans = []
     shapes = []

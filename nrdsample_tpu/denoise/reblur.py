@@ -63,6 +63,10 @@ class ReblurSettings:
     enable_anti_firefly: bool = True
     phi_normal: float = 64.0
     phi_depth: float = 1.0
+    # NRD historyFixFrameNum: pixels with fewer accumulated frames than this
+    # (fresh disocclusions) get their signal reconstructed spatially
+    history_fix_frame_num: float = 3.0
+    history_fix_stride: int = 2
 
 
 _POISSON_8 = [  # unit-disk poisson taps (8), classic REBLUR-style set
@@ -165,22 +169,80 @@ def adaptive_blur(illum, hitdist, view_z, normal, roughness, frames, frame_idx,
     return acc * inv[..., None], acc_hd * inv
 
 
+def history_fix(acc, fast, view_z, normal, frames, s: ReblurSettings):
+    """NRD REBLUR HistoryFix: right after a disocclusion the accumulated
+    signal is 1-2 raw samples — pure noise. Reconstruct it from a WIDE
+    (5x5, stride-s) depth/normal-bilateral blur, blending back to the
+    accumulated value as the history refills (NRD's mip-chain fix-up,
+    approximated with one strided stencil; exercised via the REBLUR row of
+    SURVEY.md §2.3, NRDSample.cpp:563-585 defaults).
+
+    Returns (fixed_slow, fixed_fast)."""
+    fix_w = jnp.clip(1.0 - frames / s.history_fix_frame_num, 0.0, 1.0)
+    st = s.history_fix_stride
+    acc_s = jnp.zeros_like(acc)
+    acc_f = jnp.zeros_like(fast)
+    w_sum = jnp.zeros_like(view_z)
+    for dy, dx in common.stencil_taps(2):
+        z_n = common.shifted(view_z, dy * st, dx * st)
+        n_n = common.shifted(normal, dy * st, dx * st)
+        wz = jnp.exp(
+            -jnp.abs(z_n - view_z)
+            / (s.phi_depth * jnp.maximum(jnp.abs(view_z), 1e-3))
+        )
+        wn = jnp.power(
+            jnp.clip(jnp.sum(n_n * normal, axis=-1), 0.0, 1.0), s.phi_normal
+        )
+        wgt = wz * wn
+        acc_s = acc_s + common.shifted(acc, dy * st, dx * st) * wgt[..., None]
+        acc_f = acc_f + common.shifted(fast, dy * st, dx * st) * wgt[..., None]
+        w_sum = w_sum + wgt
+    inv = 1.0 / jnp.maximum(w_sum, 1e-6)
+    blur_s = acc_s * inv[..., None]
+    blur_f = acc_f * inv[..., None]
+    return (
+        acc + (blur_s - acc) * fix_w[..., None],
+        fast + (blur_f - fast) * fix_w[..., None],
+    )
+
+
+def taccum_requests(hist: ReblurHistory, mv_xy):
+    """Gather-pass plan for temporal accumulation: 'illum' = bicubic history
+    color; 'packed' = bilinear [fast(3), hitdist(1), view_z(1), normal(3),
+    frames(1)] — both at cur + mv."""
+    packed = jnp.concatenate(
+        [hist.fast_illum, hist.hitdist[..., None], hist.view_z[..., None],
+         hist.normal, hist.frames[..., None]], axis=-1)
+    h, w = hist.view_z.shape
+    pos = common.pixel_positions(h, w) + mv_xy
+    return {"illum": (hist.illum, pos), "packed": (packed, pos)}
+
+
 def denoise(hist: ReblurHistory, illum, hitdist, view_z, normal, roughness, mv,
             frame_idx, unproject: float, s: ReblurSettings = ReblurSettings(),
-            is_spec: bool = False, reset=False, confidence=None):
+            is_spec: bool = False, reset=False, confidence=None, pre=None):
     """Full REBLUR pipeline for one signal. Returns (denoised, new_history).
-    confidence: optional (H, W) [0,1] history-confidence plane."""
+    confidence: optional (H, W) [0,1] history-confidence plane.
+    pre: optional pre-gathered taccum_requests dict (staged gather pass); the
+    adaptive-blur Poisson taps always run in-program (their positions depend
+    on the accumulated signal) via the robust tap gathers."""
     h, w = view_z.shape
     mv_xy = mv[..., :2]
     if s.enable_anti_firefly:
         illum = common.anti_firefly(illum)
 
     # ---- temporal accumulation ----
-    prev_illum = common.reproject(hist.illum, mv_xy, bicubic=True)
-    prev_fast, prev_hd, prev_z, prev_n, prev_frames = common.reproject_many(
-        [hist.fast_illum, hist.hitdist, hist.view_z, hist.normal, hist.frames],
-        mv_xy,
-    )
+    if pre is None:
+        from nrdsample_tpu.denoise import gatherpass
+
+        pre = gatherpass.execute_inline(
+            taccum_requests(hist, mv_xy),
+            {"illum": gatherpass.BICUBIC, "packed": gatherpass.BILINEAR},
+        )
+    prev_illum = pre["illum"]
+    packed = pre["packed"]
+    prev_fast, prev_hd = packed[..., 0:3], packed[..., 3]
+    prev_z, prev_n, prev_frames = packed[..., 4], packed[..., 5:8], packed[..., 8]
 
     valid = common.disocclusion_weight(
         view_z, mv[..., 2], prev_z, normal, prev_n, s.disocclusion_threshold
@@ -202,6 +264,9 @@ def denoise(hist: ReblurHistory, illum, hitdist, view_z, normal, roughness, mv,
     fast = jnp.where(valid[..., None] > 0, fast, illum)
     hd = prev_hd * (1 - alpha) + hitdist * alpha
     hd = jnp.where(valid > 0, hd, hitdist)
+
+    # ---- history fix-up: spatial reconstruction of fresh disocclusions ----
+    acc, fast = history_fix(acc, fast, view_z, normal, frames, s)
 
     # ---- adaptive spatial blur ----
     blurred, hd_blur = adaptive_blur(

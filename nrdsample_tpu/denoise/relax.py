@@ -60,14 +60,34 @@ class RelaxSettings:
     disocclusion_threshold: float = 0.02
 
 
+def taccum_requests(hist: RelaxHistory, mv_xy):
+    """Gather-pass plan for temporal accumulation: ONE packed 10-channel
+    bilinear request [illum(3), moments(2), view_z(1), normal(3), frames(1)]
+    at cur + mv (see denoise/gatherpass.py)."""
+    packed = jnp.concatenate(
+        [hist.illum, hist.moments, hist.view_z[..., None], hist.normal,
+         hist.frames[..., None]], axis=-1)
+    h, w = hist.view_z.shape
+    return packed, common.pixel_positions(h, w) + mv_xy
+
+
 def temporal_accumulate(hist: RelaxHistory, illum, view_z, normal, mv,
-                        s: RelaxSettings, reset=False, confidence=None):
-    """Step 1: reproject + accumulate illumination and moments."""
+                        s: RelaxSettings, reset=False, confidence=None,
+                        pre=None):
+    """Step 1: reproject + accumulate illumination and moments.
+
+    pre: optional pre-gathered (H, W, 10) result of taccum_requests from the
+    staged gather pass; when None the gather runs in-program (robust taps).
+    """
     h, w = view_z.shape
     mv_xy = mv[..., :2]
-    prev_illum, prev_moments, prev_z, prev_n, prev_frames = common.reproject_many(
-        [hist.illum, hist.moments, hist.view_z, hist.normal, hist.frames], mv_xy
-    )
+    if pre is None:
+        plane, pos = taccum_requests(hist, mv_xy)
+        from nrdsample_tpu.mathlib import filtering
+
+        pre = filtering.sample_bilinear(plane, pos)
+    prev_illum, prev_moments = pre[..., 0:3], pre[..., 3:5]
+    prev_z, prev_n, prev_frames = pre[..., 5], pre[..., 6:9], pre[..., 9]
 
     valid = common.disocclusion_weight(
         view_z, mv[..., 2], prev_z, normal, prev_n, s.disocclusion_threshold
@@ -154,16 +174,18 @@ def atrous_iteration(illum, variance, view_z, normal, step: int, s: RelaxSetting
 
 
 def denoise(hist: RelaxHistory, illum, view_z, normal, mv,
-            s: RelaxSettings = RelaxSettings(), reset=False, confidence=None):
+            s: RelaxSettings = RelaxSettings(), reset=False, confidence=None,
+            pre=None):
     """Full RELAX pipeline for one signal (diffuse or specular).
 
     illum: (H, W, 3) demodulated radiance; returns (denoised, new history).
     confidence: optional (H, W) [0,1] history-confidence plane.
+    pre: optional pre-gathered taccum_requests result (staged gather pass).
     """
     if s.enable_anti_firefly:
         illum = common.anti_firefly(illum)
     acc_illum, acc_moments, frames, new_hist = temporal_accumulate(
-        hist, illum, view_z, normal, mv, s, reset, confidence
+        hist, illum, view_z, normal, mv, s, reset, confidence, pre=pre
     )
     variance = estimate_variance(acc_illum, acc_moments, frames)
     out = acc_illum

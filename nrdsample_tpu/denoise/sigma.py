@@ -20,7 +20,6 @@ import jax
 import jax.numpy as jnp
 
 from nrdsample_tpu.denoise import common
-from nrdsample_tpu.mathlib import filtering
 
 
 @jax.tree_util.register_dataclass
@@ -50,13 +49,10 @@ _POISSON_8 = [
 ]
 
 
-def denoise(hist: SigmaHistory, shadow, shadow_hit_dist, view_z, mv,
-            tan_sun_angular_radius, unproject: float, frame_idx,
-            s: SigmaSettings = SigmaSettings(), reset=False):
-    """shadow: (H, W) visibility; shadow_hit_dist: (H, W) occluder distance
-    (0 where unshadowed). Returns (denoised shadow, new history)."""
+def _blur_positions(shadow_hit_dist, view_z, tan_sun_angular_radius,
+                    unproject: float, frame_idx, s: SigmaSettings):
+    """(8, H, W, 2) Poisson tap positions at the per-pixel penumbra radius."""
     h, w = view_z.shape
-
     # penumbra radius in pixels (NRD estimates this from the packed penumbra
     # plane; here directly from occluder distance)
     pixel_size = jnp.maximum(jnp.abs(view_z) * unproject, 1e-6)
@@ -70,18 +66,56 @@ def denoise(hist: SigmaHistory, shadow, shadow_hit_dist, view_z, mv,
         radius = r
     radius = jnp.clip(radius, 0.0, s.max_radius_px)
 
-    # spatial blur with depth edge stopping
     pos0 = common.pixel_positions(h, w)
     a = jnp.asarray(frame_idx, jnp.float32) * 2.39996
     ca, sa = jnp.cos(a), jnp.sin(a)
-    acc = shadow
-    acc_w = jnp.ones_like(shadow)
+    taps = []
     for tx, ty in _POISSON_8:
         ox = (tx * ca - ty * sa) * radius
         oy = (tx * sa + ty * ca) * radius
-        pos = pos0 + jnp.stack([ox, oy], axis=-1)
-        s_n = filtering.sample_bilinear(shadow[..., None], pos)[..., 0]
-        z_n = filtering.sample_bilinear(view_z[..., None], pos)[..., 0]
+        taps.append(pos0 + jnp.stack([ox, oy], axis=-1))
+    return jnp.stack(taps, axis=0)
+
+
+def requests(hist: SigmaHistory, shadow, shadow_hit_dist, view_z, mv,
+             tan_sun_angular_radius, unproject: float, frame_idx,
+             s: SigmaSettings = SigmaSettings()):
+    """Gather-pass plan: 'taps' = [shadow, view_z] at 8 Poisson positions
+    (penumbra blur); 'temporal' = [hist.shadow, hist.frames] at cur + mv."""
+    h, w = view_z.shape
+    taps_pos = _blur_positions(
+        shadow_hit_dist, view_z, tan_sun_angular_radius, unproject, frame_idx, s
+    )
+    taps_plane = jnp.stack([shadow, view_z], axis=-1)
+    t_pos = common.pixel_positions(h, w) + mv[..., :2]
+    t_plane = jnp.stack([hist.shadow, hist.frames], axis=-1)
+    return {"taps": (taps_plane, taps_pos), "temporal": (t_plane, t_pos)}
+
+
+def denoise(hist: SigmaHistory, shadow, shadow_hit_dist, view_z, mv,
+            tan_sun_angular_radius, unproject: float, frame_idx,
+            s: SigmaSettings = SigmaSettings(), reset=False, pre=None):
+    """shadow: (H, W) visibility; shadow_hit_dist: (H, W) occluder distance
+    (0 where unshadowed). Returns (denoised shadow, new history).
+
+    pre: optional pre-gathered {'taps': (8,H,W,2), 'temporal': (H,W,2)} from
+    the staged gather pass; when None the gathers run in-program."""
+    h, w = view_z.shape
+    if pre is None:
+        from nrdsample_tpu.denoise import gatherpass
+
+        reqs = requests(hist, shadow, shadow_hit_dist, view_z, mv,
+                        tan_sun_angular_radius, unproject, frame_idx, s)
+        pre = gatherpass.execute_inline(
+            reqs, {"taps": gatherpass.BILINEAR, "temporal": gatherpass.BILINEAR}
+        )
+
+    # spatial blur with depth edge stopping
+    acc = shadow
+    acc_w = jnp.ones_like(shadow)
+    for i in range(len(_POISSON_8)):
+        s_n = pre["taps"][i, ..., 0]
+        z_n = pre["taps"][i, ..., 1]
         wz = jnp.exp(
             -jnp.abs(z_n - view_z) / (s.phi_depth * jnp.maximum(jnp.abs(view_z), 1e-3))
         )
@@ -91,7 +125,7 @@ def denoise(hist: SigmaHistory, shadow, shadow_hit_dist, view_z, mv,
 
     # temporal accumulation (short)
     mv_xy = mv[..., :2]
-    prev, prev_frames = common.reproject_many([hist.shadow, hist.frames], mv_xy)
+    prev, prev_frames = pre["temporal"][..., 0], pre["temporal"][..., 1]
     valid = common.in_screen(mv_xy, h, w).astype(view_z.dtype)
     valid = jnp.where(reset, 0.0, valid)
     frames = jnp.minimum(prev_frames * valid + 1.0, s.max_accumulated_frames)

@@ -43,12 +43,21 @@ def closest_velocity_dilation(mv_xy: jnp.ndarray, view_z: jnp.ndarray) -> jnp.nd
     return best_mv
 
 
+def requests(hist: TaaHistory, mv: jnp.ndarray, view_z: jnp.ndarray):
+    """Gather-pass plan: bicubic history sample at the dilated velocity
+    (Taa.cs.hlsl:97-123). Returns (plane, pos); mode = bicubic."""
+    h, w = view_z.shape
+    mv_d = closest_velocity_dilation(mv[..., :2], view_z)
+    return hist.color, common.pixel_positions(h, w) + mv_d
+
+
 def apply(hist: TaaHistory, cur: jnp.ndarray, mv: jnp.ndarray, view_z: jnp.ndarray,
           wide_mask: jnp.ndarray | None = None, reset=False,
-          base_mix: float = 0.1):
+          base_mix: float = 0.1, pre=None):
     """One TAA step. cur: (H, W, 3) current-frame color (post-composition HDR or
     tonemapped — the reference runs TAA on tonemap-ish output). Returns
-    (antialiased, new history)."""
+    (antialiased, new history). pre: optional pre-gathered history sample
+    (requests() via the staged gather pass)."""
     h, w = view_z.shape
     mv_d = closest_velocity_dilation(mv[..., :2], view_z)
 
@@ -75,7 +84,7 @@ def apply(hist: TaaHistory, cur: jnp.ndarray, mv: jnp.ndarray, view_z: jnp.ndarr
         sigma = jnp.where(wide_mask[..., None], sigma5, sigma)
 
     # bicubic history + variance clamp (Taa.cs.hlsl:122-147)
-    prev = common.reproject(hist.color, mv_d, bicubic=True)
+    prev = pre if pre is not None else common.reproject(hist.color, mv_d, bicubic=True)
     lo = mu - sigma * cfgmod.TAA_SIGMA_SCALE
     hi = mu + sigma * cfgmod.TAA_SIGMA_SCALE
     clamped = jnp.clip(prev, lo, hi)

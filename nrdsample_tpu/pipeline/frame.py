@@ -11,7 +11,6 @@ composition, fused and scheduled by the compiler.
 from __future__ import annotations
 
 import dataclasses
-from functools import partial
 from typing import Any
 
 import jax
@@ -173,8 +172,85 @@ def trace_frame(ctx: traversal.TraceContext, scene: Scene, cam: Camera,
     return gb, {"sharc": sharc_state, "probes": probes}
 
 
+def _reblur_spec_mv(cfg: RenderConfig, cam: Camera, gb: dict, img):
+    """Specular virtual-motion vector for REBLUR (history follows the virtual
+    image behind the reflector, not the surface)."""
+    from nrdsample_tpu.mathlib import geometry as geo_mod
+
+    x_img = img(gb["primary_x"])
+    eye = cam.view_to_world[:3, 3]
+    vdir = geo_mod.normalize(x_img - eye)
+    return reblur.specular_virtual_mv(
+        cam, x_img, vdir, img(gb["spec_hitdist"]), img(gb["roughness"]),
+        img(gb["mv"]), cfg.width, cfg.height, miss=img(gb["miss"]),
+    )
+
+
+def gather_modes(cfg: RenderConfig) -> dict:
+    """Static request-name -> gather mode map for collect_gather_requests."""
+    from nrdsample_tpu.denoise import gatherpass as gp
+
+    modes = {}
+    if cfg.denoiser in (Denoiser.RELAX, Denoiser.REBLUR):
+        modes["sigma.taps"] = gp.BILINEAR
+        modes["sigma.temporal"] = gp.BILINEAR
+    if cfg.denoiser == Denoiser.RELAX:
+        modes["relax_diff"] = gp.BILINEAR
+        modes["relax_spec"] = gp.BILINEAR
+    elif cfg.denoiser == Denoiser.REBLUR:
+        for sig in ("reblur_diff", "reblur_spec"):
+            modes[f"{sig}.illum"] = gp.BICUBIC
+            modes[f"{sig}.packed"] = gp.BILINEAR
+    if cfg.use_taa:
+        modes["taa"] = gp.BICUBIC
+    return modes
+
+
+def collect_gather_requests(cfg: RenderConfig, settings: Settings, cam: Camera,
+                            history: History, gb: dict, aux: dict) -> dict:
+    """The 'plan' stage of the staged frame: compute every history-gather
+    request (packed plane + sample positions) from the trace outputs. Pure
+    elementwise/stencil work — jitted as its own small program; the requests
+    feed gatherpass.execute (one gathers-only program), whose results reach
+    image_frame via `gathered=`."""
+    n_local = gb["view_z"].shape[0]
+    w = cfg.width
+    h_local = n_local // w
+
+    def img(a):
+        return a.reshape((h_local, w) + a.shape[1:])
+
+    reqs: dict = {}
+    frame = history.frame_index
+    if history.sigma is not None:
+        tan_sun = jnp.tan(jnp.deg2rad(settings.sun_angular_diameter * 0.5))
+        unproj = cam_mod.unproject_scale(cam, cfg.height)
+        for k, v in sigma.requests(
+            history.sigma, img(gb["shadow"]), img(gb["shadow_hit_dist"]),
+            img(gb["view_z"]), img(gb["mv"]), tan_sun, unproj, frame,
+        ).items():
+            reqs[f"sigma.{k}"] = v
+    if cfg.denoiser == Denoiser.RELAX:
+        mv_xy = img(gb["mv"])[..., :2]
+        reqs["relax_diff"] = relax.taccum_requests(history.relax_diff, mv_xy)
+        reqs["relax_spec"] = relax.taccum_requests(history.relax_spec, mv_xy)
+    elif cfg.denoiser == Denoiser.REBLUR:
+        mv_xy = img(gb["mv"])[..., :2]
+        for k, v in reblur.taccum_requests(history.reblur_diff, mv_xy).items():
+            reqs[f"reblur_diff.{k}"] = v
+        mv_spec = _reblur_spec_mv(cfg, cam, gb, img)
+        for k, v in reblur.taccum_requests(
+            history.reblur_spec, mv_spec[..., :2]
+        ).items():
+            reqs[f"reblur_spec.{k}"] = v
+    if cfg.use_taa and history.taa is not None:
+        reqs["taa"] = taa.requests(history.taa, img(gb["mv"]), img(gb["view_z"]))
+    return reqs
+
+
 def image_frame(cfg: RenderConfig, settings: Settings, cam: Camera,
-                history: History, gb: dict, aux: dict, reset_history=False):
+                history: History, gb: dict, aux: dict, reset_history=False,
+                gathered: dict | None = None):
     """Phase 2 — pure image-space work: history confidence, checkerboard
     reconstruction, SIGMA, REBLUR/RELAX, composition, glass overlay, REFERENCE,
     TAA, post chain, L1-history update.
@@ -183,7 +259,11 @@ def image_frame(cfg: RenderConfig, settings: Settings, cam: Camera,
     multi-chip sharding this phase runs on GLOBAL row-sharded arrays inside
     jit — GSPMD inserts the exact halo collectives around the stencils, so the
     sharded frame equals the single-chip frame (SURVEY.md §2.4(d)).
+
+    gathered: optional pre-gathered history samples (collect_gather_requests →
+    gatherpass.execute); None = gathers run in-program (robust tap form).
     """
+    gathered = gathered or {}
     frame = history.frame_index
     sharc_state = aux.get("sharc")
     probes = aux.get("probes")
@@ -272,9 +352,14 @@ def image_frame(cfg: RenderConfig, settings: Settings, cam: Camera,
     # ---- SIGMA shadow denoising (NRDSample.cpp:4068-4084) ----
     if history.sigma is not None:
         unproj = cam_mod.unproject_scale(cam, cfg.height)
+        pre_sigma = (
+            {"taps": gathered["sigma.taps"], "temporal": gathered["sigma.temporal"]}
+            if "sigma.taps" in gathered else None
+        )
         shadow_img, new_sigma = sigma.denoise(
             history.sigma, img(shadow), img(gb["shadow_hit_dist"]), img(gb["view_z"]),
             img(gb["mv"]), tan_sun, unproj, frame, reset=reset_history,
+            pre=pre_sigma,
         )
         shadow = flat(shadow_img)
         new_h["sigma"] = new_sigma
@@ -307,36 +392,40 @@ def image_frame(cfg: RenderConfig, settings: Settings, cam: Camera,
         d_img, new_rd = relax.denoise(
             history.relax_diff, img(diff), img(gb["view_z"]), img(gb["normal"]),
             img(gb["mv"]), s, reset=reset_history, confidence=conf_arg,
+            pre=gathered.get("relax_diff"),
         )
         sp_img, new_rs = relax.denoise(
             history.relax_spec, img(spec), img(gb["view_z"]), img(gb["normal"]),
             img(gb["mv"]), s, reset=reset_history, confidence=conf_arg,
+            pre=gathered.get("relax_spec"),
         )
         diff, spec = flat(d_img), flat(sp_img)
         new_h["relax_diff"], new_h["relax_spec"] = new_rd, new_rs
     elif cfg.denoiser == Denoiser.REBLUR:
         s = reblur.ReblurSettings(max_accumulated_frames=30)
         unproj = cam_mod.unproject_scale(cam, cfg.height)
+        pre_rd = (
+            {"illum": gathered["reblur_diff.illum"],
+             "packed": gathered["reblur_diff.packed"]}
+            if "reblur_diff.illum" in gathered else None
+        )
         d_img, new_rd = reblur.denoise(
             history.reblur_diff, img(diff), img(gb["diff_hitdist"]), img(gb["view_z"]),
             img(gb["normal"]), img(gb["roughness"]), img(gb["mv"]), frame, unproj,
-            s, is_spec=False, reset=reset_history, confidence=conf_arg,
+            s, is_spec=False, reset=reset_history, confidence=conf_arg, pre=pre_rd,
         )
         # specular history follows the VIRTUAL image behind the reflector,
         # not the surface (REBLUR virtual-motion reprojection)
-        from nrdsample_tpu.mathlib import geometry as geo_mod
-
-        x_img = img(gb["primary_x"])
-        eye = cam.view_to_world[:3, 3]
-        vdir = geo_mod.normalize(x_img - eye)
-        mv_spec = reblur.specular_virtual_mv(
-            cam, x_img, vdir, img(gb["spec_hitdist"]), img(gb["roughness"]),
-            img(gb["mv"]), cfg.width, cfg.height, miss=img(gb["miss"]),
+        mv_spec = _reblur_spec_mv(cfg, cam, gb, img)
+        pre_rs = (
+            {"illum": gathered["reblur_spec.illum"],
+             "packed": gathered["reblur_spec.packed"]}
+            if "reblur_spec.illum" in gathered else None
         )
         sp_img, new_rs = reblur.denoise(
             history.reblur_spec, img(spec), img(gb["spec_hitdist"]), img(gb["view_z"]),
             img(gb["normal"]), img(gb["roughness"]), mv_spec, frame, unproj,
-            s, is_spec=True, reset=reset_history, confidence=conf_arg,
+            s, is_spec=True, reset=reset_history, confidence=conf_arg, pre=pre_rs,
         )
         diff, spec = flat(d_img), flat(sp_img)
         new_h["reblur_diff"], new_h["reblur_spec"] = new_rd, new_rs
@@ -388,7 +477,7 @@ def image_frame(cfg: RenderConfig, settings: Settings, cam: Camera,
             wide = wide | glass_mask
         taa_out, new_taa = taa.apply(
             history.taa, taa_in, img(gb["mv"]), img(gb["view_z"]),
-            wide_mask=img(wide), reset=reset_history,
+            wide_mask=img(wide), reset=reset_history, pre=gathered.get("taa"),
         )
         final = flat(taa_out)
         new_h["taa"] = new_taa
@@ -510,9 +599,61 @@ def make_jitted_frame(ctx: traversal.TraceContext, cfg: RenderConfig):
     one compile, then per-frame calls are pure dispatch.
     """
 
-    @partial(jax.jit, donate_argnums=(3,))
+    # no history donation: denoiser history slots share geometry buffers
+    # (reblur_diff.view_z and reblur_spec.view_z alias the same output), and
+    # donating an aliased buffer twice is an XLA runtime error
+    @jax.jit
     def frame_fn(scene, cam, settings, history):
         return render_frame(ctx, scene, cam, cfg, settings, history)
+
+    return frame_fn
+
+
+def make_staged_frame(ctx: traversal.TraceContext, cfg: RenderConfig):
+    """The staged production frame: trace / gather-plan / gather / image as
+    SEPARATE jit programs, same signature as make_jitted_frame's frame_fn.
+
+    Why staged: XLA:TPU's HBM-speed gather emitter only engages in (nearly)
+    gathers-only programs (denoise/gatherpass.py). Hoisting every history
+    reprojection into one dedicated program takes the RELAX stack's temporal
+    accumulation from ~16 ms to ~0.2 ms at 512² on a v5e chip; dispatch
+    overhead is ~0.05 ms/stage. Callers must NOT wrap frame_fn in an outer
+    jax.jit — that would re-merge the programs and re-poison the gathers.
+
+    Falls back to the monolithic jit when the config has no gather requests
+    (REFERENCE denoiser without TAA).
+    """
+    modes = gather_modes(cfg)
+    if not modes:
+        return make_jitted_frame(ctx, cfg)
+
+    from nrdsample_tpu.denoise import gatherpass
+
+    @jax.jit
+    def _trace(scene, cam, settings, history):
+        return trace_frame(ctx, scene, cam, cfg, settings, history)
+
+    @jax.jit
+    def _plan(settings, cam, history, gb, aux):
+        return collect_gather_requests(cfg, settings, cam, history, gb, aux)
+
+    @jax.jit
+    def _gather(reqs):
+        return gatherpass.execute(reqs, modes)
+
+    # no donation: history leaves may alias each other across denoiser slots
+    # (e.g. reblur_diff.view_z and reblur_spec.view_z are the same buffer),
+    # and donating an aliased buffer twice is an XLA runtime error
+    @jax.jit
+    def _image(settings, cam, history, gb, aux, gathered):
+        return image_frame(cfg, settings, cam, history, gb, aux,
+                           gathered=gathered)
+
+    def frame_fn(scene, cam, settings, history):
+        gb, aux = _trace(scene, cam, settings, history)
+        reqs = _plan(settings, cam, history, gb, aux)
+        gathered = _gather(reqs)
+        return _image(settings, cam, history, gb, aux, gathered)
 
     return frame_fn
 

@@ -74,6 +74,33 @@ class TestReblur:
         assert abs(res.mean() - 1.0) < 0.06
         assert res.std() < 0.06
 
+    def test_history_fix_reconstructs_disocclusion(self):
+        """Fresh history (frames ~ 1) gets spatially reconstructed: the wide
+        bilateral must crush single-pixel noise far below what the fix-free
+        path leaves; converged history (frames >> fixNum) is untouched."""
+        view_z, normal, _ = _static_geom()
+        noisy = _noisy_signal(11)
+        s = reblur.ReblurSettings()
+        fresh = jnp.ones((H, W))
+        fixed, _ = reblur.history_fix(noisy, noisy, view_z, normal, fresh, s)
+        assert float(np.asarray(fixed).std()) < 0.35 * float(np.asarray(noisy).std())
+        conv = jnp.full((H, W), 30.0)
+        same, _ = reblur.history_fix(noisy, noisy, view_z, normal, conv, s)
+        np.testing.assert_allclose(np.asarray(same), np.asarray(noisy), atol=1e-6)
+
+    def test_history_fix_respects_depth_edges(self):
+        view_z, normal, _ = _static_geom()
+        view_z = view_z.at[:, W // 2:].set(50.0)
+        signal = jnp.where(
+            (jnp.arange(W) >= W // 2)[None, :, None], 3.0, 0.5
+        ) * jnp.ones((H, W, 3))
+        s = reblur.ReblurSettings()
+        fresh = jnp.ones((H, W))
+        fixed, _ = reblur.history_fix(signal, signal, view_z, normal, fresh, s)
+        res = np.asarray(fixed)
+        assert abs(res[:, : W // 2 - 5].mean() - 0.5) < 0.05
+        assert abs(res[:, W // 2 + 5:].mean() - 3.0) < 0.05
+
     def test_contact_region_blur_smaller(self):
         # hit distance ~0 (contact) must blur less than far hit distance
         view_z, normal, mv = _static_geom()
