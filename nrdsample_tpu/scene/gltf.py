@@ -56,20 +56,29 @@ def _read_accessor(doc: dict, buffers, idx: int) -> np.ndarray:
     itemsize = np.dtype(dtype).itemsize * ncomp
     if stride == itemsize:
         arr = np.frombuffer(buf, dtype=dtype, count=count * ncomp, offset=offset)
-        arr = arr.reshape(count, ncomp)
-    else:
-        raw = np.frombuffer(buf, dtype=np.uint8)
-        rows = np.stack(
-            [
-                np.frombuffer(
-                    raw[offset + i * stride : offset + i * stride + itemsize].tobytes(),
-                    dtype=dtype,
-                )
-                for i in range(count)
-            ]
-        )
-        arr = rows.reshape(count, ncomp)
-    return np.ascontiguousarray(arr)
+        return np.ascontiguousarray(arr.reshape(count, ncomp))
+    # interleaved vertex buffers (byteStride > element size): native one-pass
+    # decode (native/gltf_decode.cpp, the cgltf role) with a zero-copy numpy
+    # strided-view fallback
+    from nrdsample_tpu import native
+
+    as_index = acc["componentType"] == 5125 and ncomp == 1
+    out = native.decode_accessor(
+        buf, offset, stride, count, ncomp, acc["componentType"],
+        as_index=as_index,
+    )
+    if out is not None:
+        # f32-widened (or i64 for indices); downstream .astype() calls are
+        # no-ops for the float attributes this loader consumes
+        return out
+    raw = np.frombuffer(buf, dtype=np.uint8)
+    view_arr = np.lib.stride_tricks.as_strided(
+        raw[offset:].view(np.uint8),
+        shape=(count, itemsize),
+        strides=(stride, 1),
+        writeable=False,
+    )
+    return np.ascontiguousarray(view_arr).view(dtype).reshape(count, ncomp)
 
 
 def _node_matrix(node: dict) -> np.ndarray:
@@ -306,12 +315,16 @@ def load_gltf(path: str, max_emissive: int = 256, load_textures: bool = True,
 
 
 def _flat_normals(verts: np.ndarray, idx: np.ndarray) -> np.ndarray:
-    n = np.zeros_like(verts)
-    fn = np.cross(
-        verts[idx[:, 1]] - verts[idx[:, 0]], verts[idx[:, 2]] - verts[idx[:, 0]]
-    )
-    for k in range(3):
-        np.add.at(n, idx[:, k], fn)
+    from nrdsample_tpu import native
+
+    n = native.accumulate_normals(verts, idx)  # one-pass C++ scatter-add
+    if n is None:
+        n = np.zeros_like(verts)
+        fn = np.cross(
+            verts[idx[:, 1]] - verts[idx[:, 0]], verts[idx[:, 2]] - verts[idx[:, 0]]
+        )
+        for k in range(3):
+            np.add.at(n, idx[:, k], fn)
     return (n / np.maximum(np.linalg.norm(n, axis=-1, keepdims=True), 1e-20)).astype(
         np.float32
     )

@@ -250,3 +250,48 @@ def test_glb_roundtrip_exterior(tmp_path):
     # emission scale preserved
     assert np.isclose(np.asarray(scene.materials.emission).max(),
                       np.asarray(loaded.materials.emission).max(), atol=1e-3)
+
+
+def test_strided_accessor_native_and_fallback():
+    """Interleaved vertex buffers (byteStride > element size) decode through
+    the native path (native/gltf_decode.cpp) and the numpy strided-view
+    fallback identically."""
+    rng = np.random.default_rng(5)
+    count = 37
+    # interleave POSITION (vec3 f32) + NORMAL (vec3 f32) + pad to 32B stride
+    pos = rng.standard_normal((count, 3)).astype(np.float32)
+    nrm = rng.standard_normal((count, 3)).astype(np.float32)
+    pad = np.zeros((count, 2), np.float32)
+    inter = np.concatenate([pos, nrm, pad], axis=1)  # stride 32
+    buf = inter.tobytes()
+    doc = {
+        "bufferViews": [
+            {"buffer": 0, "byteOffset": 0, "byteLength": len(buf), "byteStride": 32},
+        ],
+        "accessors": [
+            {"bufferView": 0, "componentType": 5126, "count": count, "type": "VEC3"},
+            {"bufferView": 0, "byteOffset": 12, "componentType": 5126,
+             "count": count, "type": "VEC3"},
+        ],
+    }
+    got_pos = gltf._read_accessor(doc, [buf], 0)
+    got_nrm = gltf._read_accessor(doc, [buf], 1)
+    np.testing.assert_array_equal(got_pos, pos)
+    np.testing.assert_array_equal(got_nrm, nrm)
+
+
+def test_native_normal_accumulation_matches_numpy():
+    from nrdsample_tpu import native
+
+    rng = np.random.default_rng(9)
+    verts = rng.standard_normal((50, 3)).astype(np.float32)
+    idx = rng.integers(0, 50, (40, 3)).astype(np.int64)
+    got = native.accumulate_normals(verts, idx)
+    if got is None:
+        pytest.skip("native lib unavailable")
+    ref = np.zeros_like(verts)
+    fn = np.cross(verts[idx[:, 1]] - verts[idx[:, 0]],
+                  verts[idx[:, 2]] - verts[idx[:, 0]])
+    for k in range(3):
+        np.add.at(ref, idx[:, k], fn)
+    np.testing.assert_allclose(got, ref, atol=1e-4)
