@@ -77,7 +77,8 @@ def _packet_kernel(order_hbm, keys_ref,
                    ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, tmax_ref,
                    slab_ref,
                    t_out, tri_out,
-                   order_smem, dma_sem, any_hit: bool):
+                   order_smem, dma_sem, any_hit: bool,
+                   interleave: int = 1, prologue: int = 0):
     """One grid step = PACKETS_PER_STEP ray packets (static unroll). The
     triangle slab table is a full-VMEM resident.
 
@@ -92,7 +93,15 @@ def _packet_kernel(order_hbm, keys_ref,
         (9 unaligned slices cost ~1.4 us/iter of overhead).
 
     No explicit worklist length: sorted keys are T_MAX past the end and
-    t_best <= T_MAX, so the prune count never exceeds the real worklist."""
+    t_best <= T_MAX, so the prune count never exceeds the real worklist.
+
+    interleave > 1 runs that many packets' traversal loops fused in one
+    while_loop (their latency-bound chains overlap; skewed worklist counts
+    waste math on finished packets). prologue > 0 tests the first `prologue`
+    clusters of EVERY packet in straight-line code first (one big basic block
+    Mosaic can software-pipeline across packets), then runs the per-packet
+    loops for the remainder — worklist counts are p50~1, so most packets
+    never enter their loop."""
     from nrdsample_tpu.ops.cluster import SLAB_ROWS
 
     c = keys_ref.shape[1]
@@ -105,6 +114,33 @@ def _packet_kernel(order_hbm, keys_ref,
     dma.start()
     dma.wait()
 
+    if interleave > 1:
+        for p0 in range(0, PACKETS_PER_STEP, interleave):
+            _packet_group(
+                list(range(p0, p0 + interleave)), c, order_smem, keys_ref,
+                ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, tmax_ref,
+                slab_ref, t_out, tri_out, any_hit, SLAB_ROWS,
+            )
+        return
+    if prologue > 0:
+        # phase A: straight-line prologue for all packets (pipelines across
+        # packets — no control flow between them)
+        states = [
+            _packet_prologue(
+                p, c, order_smem, ox_ref, oy_ref, oz_ref, dx_ref, dy_ref,
+                dz_ref, tmax_ref, slab_ref, SLAB_ROWS, prologue,
+            )
+            for p in range(PACKETS_PER_STEP)
+        ]
+        # phase B: per-packet remainder loops (usually zero-trip)
+        for p in range(PACKETS_PER_STEP):
+            _one_packet(
+                p, c, order_smem, keys_ref, ox_ref, oy_ref, oz_ref, dx_ref,
+                dy_ref, dz_ref, tmax_ref, slab_ref, t_out, tri_out,
+                any_hit, SLAB_ROWS, init=states[p],
+            )
+        return
+
     for p in range(PACKETS_PER_STEP):
         _one_packet(
             p, c, order_smem, keys_ref, ox_ref, oy_ref, oz_ref, dx_ref, dy_ref,
@@ -113,14 +149,132 @@ def _packet_kernel(order_hbm, keys_ref,
         )
 
 
+def _ray_planes(p, ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref):
+    return (
+        ox_ref[p, :][:, None], oy_ref[p, :][:, None], oz_ref[p, :][:, None],
+        dx_ref[p, :][:, None], dy_ref[p, :][:, None], dz_ref[p, :][:, None],
+    )
+
+
+def _test_cluster(rays, slab_ref, cid, slab_rows):
+    blk = slab_ref[pl.ds(cid * slab_rows, slab_rows), :]  # (16, K)
+    t, u, v, hit = _mt_block(
+        *rays,
+        blk[0:1, :], blk[1:2, :], blk[2:3, :],
+        blk[3:4, :], blk[4:5, :], blk[5:6, :],
+        blk[6:7, :], blk[7:8, :], blk[8:9, :],
+    )
+    return jnp.where(hit, t, T_MAX)
+
+
+def _merge_group(t, cid_plane, t_best, tri_best):
+    """Fold a (B, K) t-plane + block-uniform-ish cid plane into per-ray best."""
+    t = jnp.where(t < t_best[:, None], t, T_MAX)
+    k = t.shape[1]
+    idxs = jax.lax.broadcasted_iota(jnp.int32, t.shape, 1)
+    tmin = jnp.min(t, axis=-1)
+    is_min = t <= tmin[:, None]
+    kmin = jnp.min(jnp.where(is_min, idxs, k), axis=-1)
+    sel = idxs == kmin[:, None]
+    cid_win = jnp.max(jnp.where(sel, cid_plane, 0), axis=-1)
+    closer = tmin < t_best
+    t_best = jnp.where(closer, tmin, t_best)
+    tri_best = jnp.where(closer, cid_win * CLUSTER_SIZE + kmin, tri_best)
+    return t_best, tri_best
+
+
+def _packet_prologue(p, c, order_smem, ox_ref, oy_ref, oz_ref, dx_ref, dy_ref,
+                     dz_ref, tmax_ref, slab_ref, slab_rows: int, g: int):
+    """Unconditionally test the first g worklist clusters of packet p
+    (straight-line code; junk entries past the real worklist are valid cluster
+    ids — extra tests only ever find true hits). Returns a loop state resumed
+    at i=g."""
+    rays = _ray_planes(p, ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref)
+    t0 = tmax_ref[p, :]
+    cid0 = order_smem[p, 0]
+    t = _test_cluster(rays, slab_ref, cid0, slab_rows)
+    cid_plane = jnp.broadcast_to(cid0, t.shape)
+    for j in range(1, g):
+        cid_j = order_smem[p, jnp.minimum(jnp.int32(j), c - 1)]
+        t_j = _test_cluster(rays, slab_ref, cid_j, slab_rows)
+        take = t_j < t
+        cid_plane = jnp.where(take, cid_j, cid_plane)
+        t = jnp.where(take, t_j, t)
+    t_best, tri_best = _merge_group(
+        t, cid_plane, t0, jnp.full(t0.shape, -1, jnp.int32)
+    )
+    return jnp.int32(g), t_best, tri_best
+
+
+def _packet_group(ps, c, order_smem, keys_ref,
+                  ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, tmax_ref,
+                  slab_ref, t_out, tri_out, any_hit: bool, slab_rows: int):
+    """len(ps) packets traversed in ONE fused while loop: each trip tests
+    TAIL_UNROLL clusters of EVERY packet (independent latency chains overlap).
+    No per-packet gating — finished packets test junk worklist entries, which
+    are valid cluster ids and thus only ever produce true hits (wasted, but
+    latency-hidden; pl.when gating was measured slower)."""
+    n = len(ps)
+    g = TAIL_UNROLL
+    rays = [
+        _ray_planes(p, ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref)
+        for p in ps
+    ]
+    t0s = [tmax_ref[p, :] for p in ps]
+    keys = [keys_ref[p, :] for p in ps]
+
+    init = (
+        (jnp.int32(0),)
+        + tuple(t0s)
+        + tuple(jnp.full(t0.shape, -1, jnp.int32) for t0 in t0s)
+    )
+
+    def cond(state):
+        i = state[0]
+        pc = jnp.int32(0)
+        for k in range(n):
+            t_best = state[1 + k]
+            pck = jnp.sum((keys[k] < jnp.max(t_best)).astype(jnp.int32))
+            if any_hit:
+                done = jnp.logical_not(jnp.any(t_best >= tmax_ref[ps[k], :]))
+                pck = jnp.where(done, jnp.int32(0), pck)
+            pc = jnp.maximum(pc, pck)
+        return i < pc
+
+    def body(state):
+        i = state[0]
+        out_t = []
+        out_tri = []
+        for k, p in enumerate(ps):
+            t_best, tri_best = state[1 + k], state[1 + n + k]
+            cid0 = order_smem[p, jnp.minimum(i, c - 1)]
+            t = _test_cluster(rays[k], slab_ref, cid0, slab_rows)
+            cid_plane = jnp.broadcast_to(cid0, t.shape)
+            for j in range(1, g):
+                cid_j = order_smem[p, jnp.minimum(i + j, c - 1)]
+                t_j = _test_cluster(rays[k], slab_ref, cid_j, slab_rows)
+                take = t_j < t
+                cid_plane = jnp.where(take, cid_j, cid_plane)
+                t = jnp.where(take, t_j, t)
+            t_best, tri_best = _merge_group(t, cid_plane, t_best, tri_best)
+            out_t.append(t_best)
+            out_tri.append(tri_best)
+        return (i + g,) + tuple(out_t) + tuple(out_tri)
+
+    state = jax.lax.while_loop(cond, body, init)
+    for k, p in enumerate(ps):
+        t_out[p, :] = state[1 + k]
+        tri_out[p, :] = state[1 + n + k]
+
+
 def _one_packet(p, c, order_smem, keys_ref,
                 ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, tmax_ref,
                 slab_ref, t_out, tri_out, any_hit: bool,
-                slab_rows: int):
+                slab_rows: int, init=None):
     """One packet's self-terminating traversal loop. A fused all-packets loop
     with pl.when-gated work was tried and measured SLOWER (scalar branches
     around vector work defeat Mosaic's pipelining); independent per-packet
-    loops it is."""
+    loops it is. init: optional resumed loop state (prologue phase)."""
     ox = ox_ref[p, :][:, None]
     oy = oy_ref[p, :][:, None]
     oz = oz_ref[p, :][:, None]
@@ -129,11 +283,12 @@ def _one_packet(p, c, order_smem, keys_ref,
     dz = dz_ref[p, :][:, None]
 
     t0 = tmax_ref[p, :]
-    init = (
-        jnp.int32(0),
-        t0,
-        jnp.full(t0.shape, -1, jnp.int32),
-    )
+    if init is None:
+        init = (
+            jnp.int32(0),
+            t0,
+            jnp.full(t0.shape, -1, jnp.int32),
+        )
 
     keys_row = keys_ref[p, :]
 
@@ -536,7 +691,8 @@ def _morton_sort_keys(origin, direction, cs: ClusterSet):
 
 def closest_hit_packet(cs: ClusterSet, origin, direction, t_max=T_MAX,
                        block: int = BLOCK_RAYS, interpret: bool = False,
-                       sort: bool = False, stream: bool | None = None):
+                       sort: bool = False, stream: bool | None = None,
+                       interleave: int = 1, prologue: int = 0):
     """Packet-traversal closest hit: origin/direction (R, 3), R % block == 0
     after padding (handled here). Returns dict(t, u, v, tri).
 
@@ -545,7 +701,10 @@ def closest_hit_packet(cs: ClusterSet, origin, direction, t_max=T_MAX,
     wavefronts; primary rays are already screen-coherent.
 
     stream selects the HBM-streaming double-buffered kernel (None = auto: used
-    when the slab table exceeds the VMEM-resident budget)."""
+    when the slab table exceeds the VMEM-resident budget).
+
+    interleave/prologue select experimental loop structures of the resident
+    kernel (see _packet_kernel)."""
     if stream is None:
         from nrdsample_tpu.ops.traversal import PACKET_VMEM_LIMIT
 
@@ -564,6 +723,7 @@ def closest_hit_packet(cs: ClusterSet, origin, direction, t_max=T_MAX,
         res = closest_hit_packet(
             cs, packed[:, 0:3], packed[:, 3:6], packed[:, 6],
             block, interpret, sort=False, stream=stream,
+            interleave=interleave, prologue=prologue,
         )
         inv = jnp.argsort(perm)
         out_f = jnp.stack([res["t"], res["u"], res["v"]], axis=1)[inv]
@@ -646,7 +806,10 @@ def closest_hit_packet(cs: ClusterSet, origin, direction, t_max=T_MAX,
             interpret=interpret,
         )(order, keys_sorted, *o_c, *d_c, tmb, cs.slab)
     else:
-        kernel = functools.partial(_packet_kernel, any_hit=False)
+        kernel = functools.partial(
+            _packet_kernel, any_hit=False,
+            interleave=interleave, prologue=prologue,
+        )
         t, tri = pl.pallas_call(
             kernel,
             grid=(nb // pps,),

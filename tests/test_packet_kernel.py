@@ -47,6 +47,27 @@ def test_packet_matches_dense(stream):
     np.testing.assert_allclose(t[hit], t_ref[hit], rtol=1e-4, atol=1e-4)
 
 
+@pytest.mark.parametrize("variant", [{"interleave": 2}, {"interleave": 4},
+                                     {"prologue": 2}, {"prologue": 4}])
+def test_packet_loop_variants_match_dense(variant):
+    """The interleaved-group and prologue loop structures (ROADMAP perf #1)
+    must produce the same hits as the baseline per-packet loops."""
+    cs, tris_p, origin, direction = _scene_and_rays(seed=2)
+    res = packet.closest_hit_packet(
+        cs, origin, direction, interpret=True, stream=False, **variant
+    )
+    ref = intersect.intersect_dense(
+        origin, direction, tris_p.p0, tris_p.e1, tris_p.e2
+    )
+    t = np.asarray(res["t"])
+    t_ref = np.asarray(ref["t"])
+    hit = t < packet.T_MAX * 0.5
+    hit_ref = t_ref < packet.T_MAX * 0.5
+    assert hit.sum() > 50
+    np.testing.assert_array_equal(hit, hit_ref)
+    np.testing.assert_allclose(t[hit], t_ref[hit], rtol=1e-4, atol=1e-4)
+
+
 @pytest.mark.parametrize("stream", [False, True])
 def test_any_hit_matches_dense(stream):
     cs, tris_p, origin, direction = _scene_and_rays(seed=1)
