@@ -83,7 +83,9 @@ class TestReblur:
         s = reblur.ReblurSettings()
         fresh = jnp.ones((H, W))
         fixed, _ = reblur.history_fix(noisy, noisy, view_z, normal, fresh, s)
-        assert float(np.asarray(fixed).std()) < 0.35 * float(np.asarray(noisy).std())
+        # frames=1 -> fix weight 2/3: expect ~2.5x std reduction (the residual
+        # 1/3 of raw noise dominates; pure blur would be ~5x)
+        assert float(np.asarray(fixed).std()) < 0.45 * float(np.asarray(noisy).std())
         conv = jnp.full((H, W), 30.0)
         same, _ = reblur.history_fix(noisy, noisy, view_z, normal, conv, s)
         np.testing.assert_allclose(np.asarray(same), np.asarray(noisy), atol=1e-6)
