@@ -126,9 +126,15 @@ def _rot2(frame):
     return jnp.cos(a), jnp.sin(a)
 
 
-def adaptive_blur(illum, hitdist, view_z, normal, roughness, frames, frame_idx,
+def blur_requests(acc, hitdist, view_z, normal, roughness, frames, frame_idx,
                   s: ReblurSettings, is_spec: bool, unproject: float):
-    """Poisson-disk blur with per-pixel world-space-informed radius."""
+    """Gather plan for the adaptive Poisson-disk blur: per-pixel radius from
+    convergence + world-space hit distance (+ spec magic curve), 8 golden-angle
+    rotated taps. Returns (plane (H, W, 8) = [illum3, hitdist, view_z,
+    normal3], pos (8, H, W, 2)) — ONE packed gather instead of four.
+
+    Tap positions depend on the ACCUMULATED state, so in the staged frame this
+    is a second plan/gather round after temporal accumulation."""
     h, w = view_z.shape
     # normalized convergence in [0,1]
     conv = frames / s.max_accumulated_frames
@@ -144,29 +150,52 @@ def adaptive_blur(illum, hitdist, view_z, normal, roughness, frames, frame_idx,
 
     pos0 = common.pixel_positions(h, w)
     ca, sa = _rot2(frame_idx)
-    lum_c = common.luminance(illum)
-
-    acc = illum
-    acc_hd = hitdist
-    acc_w = jnp.ones_like(lum_c)
+    taps = []
     for tx, ty in _POISSON_8:
         ox = (tx * ca - ty * sa) * radius
         oy = (tx * sa + ty * ca) * radius
-        pos = pos0 + jnp.stack([ox, oy], axis=-1)
-        illum_n = filtering.sample_bilinear(illum, pos)
-        z_n = filtering.sample_bilinear(view_z[..., None], pos)[..., 0]
-        n_n = filtering.sample_bilinear(normal, pos)
-        hd_n = filtering.sample_bilinear(hitdist[..., None], pos)[..., 0]
+        taps.append(pos0 + jnp.stack([ox, oy], axis=-1))
+    plane = jnp.concatenate(
+        [acc, hitdist[..., None], view_z[..., None], normal], axis=-1
+    )
+    return plane, jnp.stack(taps, axis=0)
+
+
+def blur_finish(acc, hitdist, view_z, normal, taps, s: ReblurSettings):
+    """Depth/normal-bilateral fold of the pre-gathered blur taps.
+
+    taps: (8, H, W, 8) gathered blur_requests plane. Returns (blurred illum,
+    blurred hitdist)."""
+    acc_o = acc
+    acc_hd = hitdist
+    acc_w = jnp.ones_like(view_z)
+    for i in range(len(_POISSON_8)):
+        illum_n = taps[i, ..., 0:3]
+        hd_n = taps[i, ..., 3]
+        z_n = taps[i, ..., 4]
+        n_n = taps[i, ..., 5:8]
         wz = jnp.exp(
             -jnp.abs(z_n - view_z) / (s.phi_depth * jnp.maximum(jnp.abs(view_z), 1e-3))
         )
         wn = jnp.power(jnp.clip(jnp.sum(n_n * normal, axis=-1), 0.0, 1.0), s.phi_normal)
         wgt = wz * wn
-        acc = acc + illum_n * wgt[..., None]
+        acc_o = acc_o + illum_n * wgt[..., None]
         acc_hd = acc_hd + hd_n * wgt
         acc_w = acc_w + wgt
     inv = 1.0 / acc_w
-    return acc * inv[..., None], acc_hd * inv
+    return acc_o * inv[..., None], acc_hd * inv
+
+
+def adaptive_blur(illum, hitdist, view_z, normal, roughness, frames, frame_idx,
+                  s: ReblurSettings, is_spec: bool, unproject: float):
+    """Poisson-disk blur with per-pixel world-space-informed radius
+    (blur_requests + inline gather + blur_finish)."""
+    plane, pos = blur_requests(
+        illum, hitdist, view_z, normal, roughness, frames, frame_idx, s,
+        is_spec, unproject,
+    )
+    taps = filtering.sample_bilinear(plane, pos)
+    return blur_finish(illum, hitdist, view_z, normal, taps, s)
 
 
 def history_fix(acc, fast, view_z, normal, frames, s: ReblurSettings):
@@ -218,20 +247,14 @@ def taccum_requests(hist: ReblurHistory, mv_xy):
     return {"illum": (hist.illum, pos), "packed": (packed, pos)}
 
 
-def denoise(hist: ReblurHistory, illum, hitdist, view_z, normal, roughness, mv,
-            frame_idx, unproject: float, s: ReblurSettings = ReblurSettings(),
-            is_spec: bool = False, reset=False, confidence=None, pre=None):
-    """Full REBLUR pipeline for one signal. Returns (denoised, new_history).
-    confidence: optional (H, W) [0,1] history-confidence plane.
-    pre: optional pre-gathered taccum_requests dict (staged gather pass); the
-    adaptive-blur Poisson taps always run in-program (their positions depend
-    on the accumulated signal) via the robust tap gathers."""
+def accumulate(hist: ReblurHistory, illum, hitdist, view_z, normal, mv,
+               s: ReblurSettings, reset=False, confidence=None, pre=None):
+    """Temporal accumulation + history fix-up. Returns (acc, fast, hd, frames).
+
+    pre: optional pre-gathered taccum_requests dict (staged gather pass)."""
     h, w = view_z.shape
     mv_xy = mv[..., :2]
-    if s.enable_anti_firefly:
-        illum = common.anti_firefly(illum)
 
-    # ---- temporal accumulation ----
     if pre is None:
         from nrdsample_tpu.denoise import gatherpass
 
@@ -267,13 +290,13 @@ def denoise(hist: ReblurHistory, illum, hitdist, view_z, normal, roughness, mv,
 
     # ---- history fix-up: spatial reconstruction of fresh disocclusions ----
     acc, fast = history_fix(acc, fast, view_z, normal, frames, s)
+    return acc, fast, hd, frames
 
-    # ---- adaptive spatial blur ----
-    blurred, hd_blur = adaptive_blur(
-        acc, hd, view_z, normal, roughness, frames, frame_idx, s, is_spec, unproject
-    )
 
-    # ---- temporal stabilization: clamp slow history to fast neighborhood ----
+def stabilize(blurred, fast, frames, s: ReblurSettings):
+    """Temporal stabilization: clamp the blurred slow signal to the fast
+    channel's 3x3 neighborhood mean ± sigma (anti-lag), relaxing as history
+    converges."""
     mu = jnp.zeros_like(blurred)
     mu2 = jnp.zeros_like(blurred)
     for dy, dx in common.stencil_taps(1):
@@ -286,7 +309,35 @@ def denoise(hist: ReblurHistory, illum, hitdist, view_z, normal, roughness, mv,
         blurred, mu - sigma * s.anti_lag_sigma, mu + sigma * s.anti_lag_sigma
     )
     # blend back toward unclamped as history converges
-    out = clamped + (blurred - clamped) * jnp.clip(frames / 8.0, 0.0, 1.0)[..., None]
+    return clamped + (blurred - clamped) * jnp.clip(frames / 8.0, 0.0, 1.0)[..., None]
+
+
+def denoise(hist: ReblurHistory, illum, hitdist, view_z, normal, roughness, mv,
+            frame_idx, unproject: float, s: ReblurSettings = ReblurSettings(),
+            is_spec: bool = False, reset=False, confidence=None, pre=None,
+            pre_taps=None):
+    """Full REBLUR pipeline for one signal. Returns (denoised, new_history).
+    confidence: optional (H, W) [0,1] history-confidence plane.
+    pre: optional pre-gathered taccum_requests dict (staged gather pass).
+    pre_taps: optional pre-gathered blur_requests taps (8, H, W, 8) — the
+    second gather stage; None = inline robust-tap gather."""
+    if s.enable_anti_firefly:
+        illum = common.anti_firefly(illum)
+
+    acc, fast, hd, frames = accumulate(
+        hist, illum, hitdist, view_z, normal, mv, s, reset, confidence, pre
+    )
+
+    # ---- adaptive spatial blur ----
+    if pre_taps is None:
+        blurred, hd_blur = adaptive_blur(
+            acc, hd, view_z, normal, roughness, frames, frame_idx, s, is_spec,
+            unproject,
+        )
+    else:
+        blurred, hd_blur = blur_finish(acc, hd, view_z, normal, pre_taps, s)
+
+    out = stabilize(blurred, fast, frames, s)
 
     new_hist = ReblurHistory(
         illum=out, fast_illum=fast, hitdist=hd_blur, view_z=view_z, normal=normal,

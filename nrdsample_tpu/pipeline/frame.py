@@ -248,17 +248,15 @@ def collect_gather_requests(cfg: RenderConfig, settings: Settings, cam: Camera,
     return reqs
 
 
-def image_frame(cfg: RenderConfig, settings: Settings, cam: Camera,
-                history: History, gb: dict, aux: dict, reset_history=False,
-                gathered: dict | None = None):
-    """Phase 2 — pure image-space work: history confidence, checkerboard
-    reconstruction, SIGMA, REBLUR/RELAX, composition, glass overlay, REFERENCE,
-    TAA, post chain, L1-history update.
-
-    Every op here is a stencil/elementwise/gather on (H, W) planes. Under
-    multi-chip sharding this phase runs on GLOBAL row-sharded arrays inside
-    jit — GSPMD inserts the exact halo collectives around the stencils, so the
-    sharded frame equals the single-chip frame (SURVEY.md §2.4(d)).
+def image_frame_begin(cfg: RenderConfig, settings: Settings, cam: Camera,
+                      history: History, gb: dict, aux: dict,
+                      reset_history=False, gathered: dict | None = None):
+    """Phase 2a — image work through the denoisers' temporal accumulation:
+    history confidence, checkerboard reconstruction, SIGMA, RELAX (complete),
+    REBLUR accumulate + blur-tap PLAN (the blur positions depend on the
+    accumulated state, so the taps are a second gather round in the staged
+    frame). Returns a `mid` pytree for image_frame_finish; mid["reqs2"] holds
+    the second-round gather requests ({} when none).
 
     gathered: optional pre-gathered history samples (collect_gather_requests →
     gatherpass.execute); None = gathers run in-program (robust tap form).
@@ -318,17 +316,19 @@ def image_frame(cfg: RenderConfig, settings: Settings, cam: Camera,
     # horizontal neighbors before the denoisers see them ----
     from nrdsample_tpu.config import TracingMode
 
+    gb_updates: dict = {}  # G-buffer planes changed here (the rest of gb
+    # passes to image_frame_finish OUTSIDE the mid pytree — no HBM round-trip)
     if (cfg.tracing_mode == TracingMode.FULL_PROBABILISTIC
             and cfg.denoiser in (Denoiser.REBLUR, Denoiser.RELAX)):
         # AREA_3X3 hitT reconstruction: probabilistic lobe selection leaves
         # the unsampled lobe's hit distance at 0 (NRDSample.cpp:548/:569)
         from nrdsample_tpu.denoise import checkerboard as cb_mod
 
-        gb = dict(
-            gb,
-            diff_hitdist=flat(cb_mod.hitdist_reconstruct_3x3(img(gb["diff_hitdist"]))),
-            spec_hitdist=flat(cb_mod.hitdist_reconstruct_3x3(img(gb["spec_hitdist"]))),
-        )
+        gb_updates = {
+            "diff_hitdist": flat(cb_mod.hitdist_reconstruct_3x3(img(gb["diff_hitdist"]))),
+            "spec_hitdist": flat(cb_mod.hitdist_reconstruct_3x3(img(gb["spec_hitdist"]))),
+        }
+        gb = dict(gb, **gb_updates)
 
     if cfg.tracing_mode == TracingMode.HALF and full_image:
         from nrdsample_tpu.denoise import checkerboard as cb_mod
@@ -336,13 +336,13 @@ def image_frame(cfg: RenderConfig, settings: Settings, cam: Camera,
         cb = cb_mod.checkerboard_mask(h_local, w, frame)  # True = diffuse traced
         diff = flat(cb_mod.resolve(img(diff), cb))
         spec = flat(cb_mod.resolve(img(spec), jnp.logical_not(cb)))
-        gb = dict(
-            gb,
-            diff_hitdist=flat(cb_mod.resolve(img(gb["diff_hitdist"]), cb)),
-            spec_hitdist=flat(
+        gb_updates = {
+            "diff_hitdist": flat(cb_mod.resolve(img(gb["diff_hitdist"]), cb)),
+            "spec_hitdist": flat(
                 cb_mod.resolve(img(gb["spec_hitdist"]), jnp.logical_not(cb))
             ),
-        )
+        }
+        gb = dict(gb, **gb_updates)
 
     new_h = {"frame_index": frame + 1}
     if new_confidence_state is not None:
@@ -387,6 +387,8 @@ def image_frame(cfg: RenderConfig, settings: Settings, cam: Camera,
 
     # ---- diffuse/specular denoising (NRDSample.cpp:4086-4154) ----
     conf_arg = confidence_img if confidence_img is not None else None
+    reqs2: dict = {}
+    reblur_mid: dict = {}
     if cfg.denoiser == Denoiser.RELAX:
         s = relax.RelaxSettings(max_accumulated_frames=30)
         d_img, new_rd = relax.denoise(
@@ -404,31 +406,96 @@ def image_frame(cfg: RenderConfig, settings: Settings, cam: Camera,
     elif cfg.denoiser == Denoiser.REBLUR:
         s = reblur.ReblurSettings(max_accumulated_frames=30)
         unproj = cam_mod.unproject_scale(cam, cfg.height)
-        pre_rd = (
-            {"illum": gathered["reblur_diff.illum"],
-             "packed": gathered["reblur_diff.packed"]}
-            if "reblur_diff.illum" in gathered else None
-        )
-        d_img, new_rd = reblur.denoise(
-            history.reblur_diff, img(diff), img(gb["diff_hitdist"]), img(gb["view_z"]),
-            img(gb["normal"]), img(gb["roughness"]), img(gb["mv"]), frame, unproj,
-            s, is_spec=False, reset=reset_history, confidence=conf_arg, pre=pre_rd,
-        )
-        # specular history follows the VIRTUAL image behind the reflector,
-        # not the surface (REBLUR virtual-motion reprojection)
-        mv_spec = _reblur_spec_mv(cfg, cam, gb, img)
-        pre_rs = (
-            {"illum": gathered["reblur_spec.illum"],
-             "packed": gathered["reblur_spec.packed"]}
-            if "reblur_spec.illum" in gathered else None
-        )
-        sp_img, new_rs = reblur.denoise(
-            history.reblur_spec, img(spec), img(gb["spec_hitdist"]), img(gb["view_z"]),
-            img(gb["normal"]), img(gb["roughness"]), mv_spec, frame, unproj,
-            s, is_spec=True, reset=reset_history, confidence=conf_arg, pre=pre_rs,
-        )
-        diff, spec = flat(d_img), flat(sp_img)
-        new_h["reblur_diff"], new_h["reblur_spec"] = new_rd, new_rs
+        for sig, hist_sig, radiance, hitdist_key, mv_sig, is_spec in (
+            ("reblur_diff", history.reblur_diff, diff, "diff_hitdist",
+             img(gb["mv"]), False),
+            # specular history follows the VIRTUAL image behind the reflector,
+            # not the surface (REBLUR virtual-motion reprojection)
+            ("reblur_spec", history.reblur_spec, spec, "spec_hitdist",
+             _reblur_spec_mv(cfg, cam, gb, img), True),
+        ):
+            pre_sig = (
+                {"illum": gathered[f"{sig}.illum"],
+                 "packed": gathered[f"{sig}.packed"]}
+                if f"{sig}.illum" in gathered else None
+            )
+            illum_in = img(radiance)
+            if s.enable_anti_firefly:
+                from nrdsample_tpu.denoise import common as dn_common
+
+                illum_in = dn_common.anti_firefly(illum_in)
+            acc, fast, hd, frames_sig = reblur.accumulate(
+                hist_sig, illum_in, img(gb[hitdist_key]), img(gb["view_z"]),
+                img(gb["normal"]), mv_sig, s, reset=reset_history,
+                confidence=conf_arg, pre=pre_sig,
+            )
+            reqs2[f"{sig}.taps"] = reblur.blur_requests(
+                acc, hd, img(gb["view_z"]), img(gb["normal"]),
+                img(gb["roughness"]), frames_sig, frame, s, is_spec, unproj,
+            )
+            reblur_mid[sig] = (acc, fast, hd, frames_sig)
+
+    return {
+        "gb_updates": gb_updates, "diff": diff, "spec": spec, "shadow": shadow,
+        "new_h": new_h, "reqs2": reqs2, "reblur": reblur_mid,
+        "taa_pre": gathered.get("taa"),
+    }
+
+
+def image_frame_finish(cfg: RenderConfig, settings: Settings, cam: Camera,
+                       history: History, gb: dict, aux: dict, mid: dict,
+                       reset_history=False, gathered2: dict | None = None):
+    """Phase 2b — REBLUR blur/stabilize (from pre-gathered or inline taps),
+    then composition, glass overlay, REFERENCE accumulate, TAA, post chain,
+    debug views, L1-history update, history assembly.
+
+    gb: the trace-phase G-buffer with mid["gb_updates"] already merged in (the
+    caller merges outside jit so unchanged planes skip the mid round-trip).
+    gathered2: optional pre-gathered results for mid["reqs2"] (the staged
+    frame's second gather round); None = inline robust-tap gathers."""
+    from nrdsample_tpu.config import NrdMode
+    from nrdsample_tpu.mathlib import filtering as filt_mod
+
+    frame = history.frame_index
+    sharc_state = aux.get("sharc")
+    diff = mid["diff"]
+    spec = mid["spec"]
+    shadow = mid["shadow"]
+    new_h = dict(mid["new_h"])
+
+    n_local = gb["view_z"].shape[0]
+    w = cfg.width
+    h_local = n_local // w
+
+    def img(a):
+        return a.reshape((h_local, w) + a.shape[1:])
+
+    def flat(a):
+        return a.reshape((n_local,) + a.shape[2:])
+
+    occl_mode = cfg.nrd_mode in (NrdMode.OCCLUSION, NrdMode.DIRECTIONAL_OCCLUSION)
+
+    if cfg.denoiser == Denoiser.REBLUR:
+        s = reblur.ReblurSettings(max_accumulated_frames=30)
+        outs = {}
+        for sig in ("reblur_diff", "reblur_spec"):
+            acc, fast, hd, frames_sig = mid["reblur"][sig]
+            if gathered2 is not None and f"{sig}.taps" in gathered2:
+                taps = gathered2[f"{sig}.taps"]
+            else:
+                plane, pos = mid["reqs2"][f"{sig}.taps"]
+                taps = filt_mod.sample_bilinear(plane, pos)
+            blurred, hd_blur = reblur.blur_finish(
+                acc, hd, img(gb["view_z"]), img(gb["normal"]), taps, s
+            )
+            out_sig = reblur.stabilize(blurred, fast, frames_sig, s)
+            new_h[sig] = reblur.ReblurHistory(
+                illum=out_sig, fast_illum=fast, hitdist=hd_blur,
+                view_z=img(gb["view_z"]), normal=img(gb["normal"]),
+                frames=frames_sig,
+            )
+            outs[sig] = flat(out_sig)
+        diff, spec = outs["reblur_diff"], outs["reblur_spec"]
 
     # ---- composition (NRDSample.cpp:4158-4188) ----
     if occl_mode:
@@ -477,7 +544,7 @@ def image_frame(cfg: RenderConfig, settings: Settings, cam: Camera,
             wide = wide | glass_mask
         taa_out, new_taa = taa.apply(
             history.taa, taa_in, img(gb["mv"]), img(gb["view_z"]),
-            wide_mask=img(wide), reset=reset_history, pre=gathered.get("taa"),
+            wide_mask=img(wide), reset=reset_history, pre=mid.get("taa_pre"),
         )
         final = flat(taa_out)
         new_h["taa"] = new_taa
@@ -569,6 +636,31 @@ def image_frame(cfg: RenderConfig, settings: Settings, cam: Camera,
     return outputs, History(**new_h)
 
 
+def image_frame(cfg: RenderConfig, settings: Settings, cam: Camera,
+                history: History, gb: dict, aux: dict, reset_history=False,
+                gathered: dict | None = None):
+    """Phase 2 — pure image-space work (image_frame_begin ∘ image_frame_finish
+    with inline second-round gathers): history confidence, checkerboard
+    reconstruction, SIGMA, REBLUR/RELAX, composition, glass overlay, REFERENCE,
+    TAA, post chain, L1-history update.
+
+    Every op here is a stencil/elementwise/gather on (H, W) planes. Under
+    multi-chip sharding this phase runs on GLOBAL row-sharded arrays inside
+    jit — GSPMD inserts the exact halo collectives around the stencils, so the
+    sharded frame equals the single-chip frame (SURVEY.md §2.4(d)).
+
+    gathered: optional pre-gathered history samples (collect_gather_requests →
+    gatherpass.execute); None = gathers run in-program (robust tap form).
+    """
+    mid = image_frame_begin(
+        cfg, settings, cam, history, gb, aux, reset_history, gathered
+    )
+    gb = dict(gb, **mid["gb_updates"])
+    return image_frame_finish(
+        cfg, settings, cam, history, gb, aux, mid, reset_history, gathered2=None
+    )
+
+
 def render_frame(ctx: traversal.TraceContext, scene: Scene, cam: Camera,
                  cfg: RenderConfig, settings: Settings, history: History,
                  reset_history=False, pixel_idx=None, dynamics=None):
@@ -645,15 +737,31 @@ def make_staged_frame(ctx: traversal.TraceContext, cfg: RenderConfig):
     # (e.g. reblur_diff.view_z and reblur_spec.view_z are the same buffer),
     # and donating an aliased buffer twice is an XLA runtime error
     @jax.jit
-    def _image(settings, cam, history, gb, aux, gathered):
-        return image_frame(cfg, settings, cam, history, gb, aux,
-                           gathered=gathered)
+    def _image_a(settings, cam, history, gb, aux, gathered):
+        return image_frame_begin(cfg, settings, cam, history, gb, aux,
+                                 gathered=gathered)
+
+    @jax.jit
+    def _gather2(reqs2):
+        return gatherpass.execute(
+            reqs2, {k: gatherpass.BILINEAR for k in reqs2}
+        )
+
+    @jax.jit
+    def _image_b(settings, cam, history, gb, aux, mid, gathered2):
+        return image_frame_finish(cfg, settings, cam, history, gb, aux, mid,
+                                  gathered2=gathered2)
 
     def frame_fn(scene, cam, settings, history):
         gb, aux = _trace(scene, cam, settings, history)
         reqs = _plan(settings, cam, history, gb, aux)
         gathered = _gather(reqs)
-        return _image(settings, cam, history, gb, aux, gathered)
+        mid = _image_a(settings, cam, history, gb, aux, gathered)
+        # second gather round: REBLUR adaptive-blur taps (positions depend on
+        # the accumulated state computed in _image_a)
+        gathered2 = _gather2(mid["reqs2"]) if mid["reqs2"] else {}
+        gb = dict(gb, **mid["gb_updates"])
+        return _image_b(settings, cam, history, gb, aux, mid, gathered2)
 
     return frame_fn
 
