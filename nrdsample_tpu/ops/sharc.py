@@ -56,11 +56,19 @@ class SharcState:
 # ---------------------------------------------------------------------------
 
 def grid_level(pos: jnp.ndarray, cam_pos: jnp.ndarray,
-               scene_scale: float = cfgmod.SHARC_SCENE_SCALE) -> jnp.ndarray:
+               scene_scale: float = cfgmod.SHARC_SCENE_SCALE,
+               dither=None) -> jnp.ndarray:
     """Logarithmic LOD from camera distance (HashGridGetLevel): voxels double in
-    size with each power-of-2 distance ring."""
+    size with each power-of-2 distance ring.
+
+    dither: optional per-sample uniform in [0, 1) replacing the fixed 0.5
+    rounding offset — samples near a LOD ring land in either level
+    probabilistically, so the voxel-size change dissolves into noise the
+    temporal accumulation averages out instead of a visible seam (the
+    reference's LOD transition dithering)."""
     d = jnp.linalg.norm(pos - cam_pos, axis=-1)
-    lvl = jnp.floor(jnp.log2(jnp.maximum(d, 1e-3)) + 0.5)
+    r = 0.5 if dither is None else dither
+    lvl = jnp.floor(jnp.log2(jnp.maximum(d, 1e-3)) + r)
     return jnp.clip(lvl, -4.0, 10.0)
 
 
@@ -83,11 +91,11 @@ def _hash_u32x4(a, b, c, d):
 
 
 def cell_key(pos: jnp.ndarray, normal: jnp.ndarray, cam_pos: jnp.ndarray,
-             scene_scale: float = cfgmod.SHARC_SCENE_SCALE):
+             scene_scale: float = cfgmod.SHARC_SCENE_SCALE, dither=None):
     """Quantize (pos, normal) -> (hash words). Normal contributes its dominant
     axis octant (6 orientations) so opposite faces of thin walls don't share
     cells — matching SHARC's normal-based key component."""
-    lvl = grid_level(pos, cam_pos, scene_scale)
+    lvl = grid_level(pos, cam_pos, scene_scale, dither=dither)
     vs = voxel_size(lvl, scene_scale)
     q = jnp.floor(pos / vs[..., None]).astype(jnp.int32)
     ax = jnp.argmax(jnp.abs(normal), axis=-1).astype(jnp.int32)
@@ -98,9 +106,10 @@ def cell_key(pos: jnp.ndarray, normal: jnp.ndarray, cam_pos: jnp.ndarray,
 
 
 def slot_and_checksum(pos, normal, cam_pos, capacity: int,
-                      scene_scale: float = cfgmod.SHARC_SCENE_SCALE):
+                      scene_scale: float = cfgmod.SHARC_SCENE_SCALE,
+                      dither=None):
     """(slot index, checksum) per element; checksum is never 0."""
-    x, y, z, w, lvl = cell_key(pos, normal, cam_pos, scene_scale)
+    x, y, z, w, lvl = cell_key(pos, normal, cam_pos, scene_scale, dither=dither)
     h1 = _hash_u32x4(x, y, z, w)
     h2 = _hash_u32x4(w, z, y, x)
     slot = (h1 % _U32(capacity)).astype(jnp.int32)
@@ -113,9 +122,10 @@ def slot_and_checksum(pos, normal, cam_pos, capacity: int,
 # ---------------------------------------------------------------------------
 
 def query(state: SharcState, pos, normal, cam_pos,
-          scene_scale: float = cfgmod.SHARC_SCENE_SCALE):
+          scene_scale: float = cfgmod.SHARC_SCENE_SCALE, dither=None):
     """SharcGetCachedRadiance: returns (radiance [...,3], found [...])."""
-    slot, checksum, _ = slot_and_checksum(pos, normal, cam_pos, state.capacity, scene_scale)
+    slot, checksum, _ = slot_and_checksum(pos, normal, cam_pos, state.capacity,
+                                          scene_scale, dither=dither)
     key = state.keys[slot]
     res = state.resolved[slot]
     count = res[..., 3]
@@ -125,7 +135,8 @@ def query(state: SharcState, pos, normal, cam_pos,
 
 
 def update(state: SharcState, pos, normal, radiance, cam_pos, frame,
-           mask=None, scene_scale: float = cfgmod.SHARC_SCENE_SCALE) -> SharcState:
+           mask=None, scene_scale: float = cfgmod.SHARC_SCENE_SCALE,
+           dither=None) -> SharcState:
     """SharcUpdateHit: claim slots + scatter-add radiance samples.
 
     radiance: [..., 3] per-sample incident radiance estimate at the cell.
@@ -133,7 +144,8 @@ def update(state: SharcState, pos, normal, radiance, cam_pos, frame,
     the key only if the entry is empty or stale-evicted; accumulation is gated
     on checksum match *after* claiming, so first-frame inserts accumulate too.
     """
-    slot, checksum, _ = slot_and_checksum(pos, normal, cam_pos, state.capacity, scene_scale)
+    slot, checksum, _ = slot_and_checksum(pos, normal, cam_pos, state.capacity,
+                                          scene_scale, dither=dither)
     slot_f = slot.reshape(-1)
     csum_f = checksum.reshape(-1)
     rad_f = radiance.reshape(-1, 3)

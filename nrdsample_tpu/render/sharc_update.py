@@ -119,7 +119,11 @@ def sharc_update_pass(ctx: traversal.TraceContext, scene: Scene, cam: Camera,
     ns = jnp.concatenate([u[1] for u in updates], axis=0)
     ls = jnp.concatenate([u[2] for u in updates], axis=0)
     ms = jnp.concatenate([u[3] for u in updates], axis=0)
-    state = sharc.update(state, xs, ns, ls, cam_pos, frame, mask=ms)
+    # LOD transition dithering on the WRITE side too, so both rings near a
+    # level boundary stay populated for the dithered queries
+    lod_dither = rng.uniform1(jnp.arange(xs.shape[0], dtype=jnp.int32), frame, 800_077)
+    state = sharc.update(state, xs, ns, ls, cam_pos, frame, mask=ms,
+                         dither=lod_dither)
 
     # probe "small G-buffer" for the history-confidence gradient
     # (SharcUpdate.cs.hlsl:104-107 luminance+normal+viewZ store; the gradient

@@ -328,7 +328,11 @@ def trace_paths(ctx: traversal.TraceContext, scene: Scene, cam: Camera,
                 from nrdsample_tpu.ops import sharc as sharc_mod
 
                 cam_pos = cam.position
-                lvl = sharc_mod.grid_level(props["x"], cam_pos)
+                # LOD transition dithering: jitter the level rounding per
+                # pixel/frame so voxel-size rings dissolve into noise the
+                # temporal accumulation averages out (reference SHARC behavior)
+                lod_dither = rng.uniform1(pixel_idx, frame, dim_base + 11)
+                lvl = sharc_mod.grid_level(props["x"], cam_pos, dither=lod_dither)
                 vs = sharc_mod.voxel_size(lvl)
                 rt = jnp.where(is_diffuse, 1.0, props["roughness"])
                 lobe_tan = rt * rt / (1.0 + rt * rt)
@@ -343,7 +347,8 @@ def trace_paths(ctx: traversal.TraceContext, scene: Scene, cam: Camera,
                 l1_rnd = rng.uniform1(pixel_idx, frame, dim_base + 10)
                 gate = gate & (l1_rnd > cache_w)
                 rad, found = sharc_mod.query(
-                    sharc_state, props["x"], props["n"], cam_pos
+                    sharc_state, props["x"], props["n"], cam_pos,
+                    dither=lod_dither,
                 )
                 use = found & gate & jnp.logical_not(props["miss"])
                 l_cached = jnp.where(use[..., None], rad, l_cached)

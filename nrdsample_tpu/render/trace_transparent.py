@@ -157,7 +157,8 @@ def _delta_chain(ctxs, scene, cfg: RenderConfig, settings, frame, pixel_idx,
             from nrdsample_tpu.ops import sharc as sharc_mod
 
             rad, found = sharc_mod.query(
-                sharc_state, new_props["x"], new_props["n"], cam.position
+                sharc_state, new_props["x"], new_props["n"], cam.position,
+                dither=rng.uniform1(pixel_idx, frame, dim + 7),
             )
             use = found & jnp.logical_not(new_props["miss"])
             l_end0 = jnp.where(use[..., None], rad + new_props["lemi"], l_end0)

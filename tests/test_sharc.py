@@ -76,3 +76,27 @@ class TestSharc:
         l_far = sharc.grid_level(far, CAM)
         assert float(l_far[0]) > float(l_near[0])
         assert float(sharc.voxel_size(l_far)[0]) > float(sharc.voxel_size(l_near)[0])
+
+
+def test_lod_dither_blends_ring_boundary():
+    """With a uniform dither, points exactly at a LOD ring land in BOTH
+    adjacent levels (~50/50), while the undithered level is deterministic and
+    dither=0.5 reproduces it exactly."""
+    import numpy as np
+
+    n = 4096
+    # distance 2^2.5 -> log2 = 2.5: the rounding boundary of the undithered
+    # floor(log2 + 0.5) level
+    pos = jnp.tile(jnp.array([[2.0 ** 2.5, 0.0, 0.0]]), (n, 1))
+    cam = jnp.zeros((3,))
+    base = sharc.grid_level(pos, cam)
+    d = jnp.linspace(0.0, 1.0, n, endpoint=False)
+    lv = np.asarray(sharc.grid_level(pos, cam, dither=d))
+    lo, hi = lv.min(), lv.max()
+    assert hi == lo + 1.0
+    frac_hi = float((lv == hi).mean())
+    assert 0.4 < frac_hi < 0.6
+    np.testing.assert_array_equal(
+        np.asarray(sharc.grid_level(pos, cam, dither=jnp.full((n,), 0.5))),
+        np.asarray(base),
+    )
