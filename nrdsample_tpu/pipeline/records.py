@@ -32,6 +32,9 @@ RENDER_FIELDS = (
     "denoiser", "tracing_mode", "nrd_mode", "bounce_num", "rpp",
     "psr_bounce_num", "use_sharc", "use_confidence", "use_taa",
     "use_translucency", "use_hair_sss", "use_l1_cache",
+    # stress/fault-injection pins (SURVEY.md §5.3)
+    "use_inf_stress_test", "use_drs_stress_test", "use_firefly_test",
+    "use_material_id_test", "use_sanitization",
 )
 
 # Curated watch lists (NRDSample.cpp:58-79 analogue): indices into a scene's

@@ -210,6 +210,107 @@ def build_corpus():
         (S(sun_elevation=60.0), cam_for("exterior"),
          {"denoiser": REB, "use_sharc": True}, None),
     ]
+
+    # --- v3 sweeps: settings/camera state snapshots over the render configs
+    # already used above (the reference's 343 records are exactly such
+    # state-only snapshots, NRDSample.cpp:1788; reusing configs keeps the
+    # replay suite on the jit compile cache) ---
+    def sweep(scene, render, states):
+        return [(s, cam_for(scene, **ckw), render, None) for s, ckw in states]
+
+    shadowless = dict(disable_shadows=1, sun_elevation=-30.0)
+    out["cornellbox"] += sweep(
+        "cornellbox", {"denoiser": REB, "bounce_num": 1},
+        [(S(**shadowless, emission_intensity=e), dict(d_eye=de))
+         for e, de in ((0.5, (0.1, 0, 0)), (2.0, (-0.2, 0.1, 0)),
+                       (8.0, (0, -0.4, 0.2)))]
+        + [(S(**shadowless, exposure=x), {}) for x in (20.0, 160.0)]
+        + [(S(**shadowless, max_accumulated_frame_num=m),
+            dict(d_eye=(0.3, 0.1, -0.1))) for m in (3, 15, 63)]
+    ) + sweep(
+        "cornellbox", {"denoiser": REL, "bounce_num": 1},
+        [(S(**shadowless, roughness_override=r), dict(fov=f))
+         for r, f in ((0.15, 30.0), (0.5, 45.0), (0.95, 60.0))]
+        + [(S(**shadowless, metalness_override=m), {}) for m in (0.5, 1.0)]
+    )
+
+    sunlit = dict(sun_elevation=60.0)
+    out["cornellbox-glass"] += sweep(
+        "cornellbox-glass", {"denoiser": REB, "use_translucency": True},
+        [(S(sun_elevation=el, sun_azimuth=az), dict(d_eye=de))
+         for el, az, de in ((75.0, 0.0, (0, 0, 0)), (40.0, 60.0, (0.3, 0, 0)),
+                            (15.0, -120.0, (-0.3, 0.1, 0.1)),
+                            (85.0, 180.0, (0, -0.5, 0.3)))]
+        + [(S(**sunlit, sun_angular_diameter=d), {}) for d in (0.25, 1.0, 4.0)]
+    )
+
+    out["kitchen"] += sweep(
+        "kitchen", {"denoiser": REB, "psr_bounce_num": 1},
+        [(S(sun_elevation=el, sun_azimuth=az), dict(d_eye=de, fov=f))
+         for el, az, de, f in
+         ((70.0, -30.0, (0, 0, 0), 65.0), (30.0, 45.0, (0.2, -0.3, 0.1), 55.0),
+          (15.0, 120.0, (-0.3, 0, 0.2), 70.0), (55.0, -90.0, (0, 0.2, -0.1), 60.0))]
+        + [(S(sun_elevation=45.0, exposure=x), {}) for x in (30.0, 200.0)]
+    )
+
+    out["shaderballs"] += sweep(
+        "shaderballs", {"denoiser": REB},
+        [(S(sun_elevation=45.0, roughness_override=r,
+            metalness_override=m), dict(d_eye=de))
+         for r, m, de in ((0.1, 0.9, (0, 0, 0)), (0.7, 0.2, (1.5, 0, 0.5)),
+                          (0.35, 0.6, (-1.5, 0.5, 0)), (0.9, 0.0, (0, 1.0, 1.0)))]
+        + [(S(sun_elevation=el, sun_angular_diameter=d), {})
+           for el, d in ((25.0, 1.5), (70.0, 0.25))]
+        + [(S(sun_elevation=45.0, min_probability=p), {}) for p in (0.1, 0.4)]
+    )
+
+    nightly = dict(disable_shadows=1)
+    out["interior-night"] += sweep(
+        "interior-night", {"denoiser": REB, "bounce_num": 2},
+        [(S(**nightly, emission_intensity=e, exposure=x), dict(d_eye=de))
+         for e, x, de in ((0.1, 300.0, (0, 0, 0)), (2.5, 40.0, (0.4, 0.2, 0)),
+                          (12.0, 15.0, (-0.4, 0, 0.3)))]
+        + [(S(**nightly, max_accumulated_frame_num=m), dict(fov=f))
+           for m, f in ((7, 50.0), (63, 80.0))]
+    )
+
+    out["exterior"] += sweep(
+        "exterior", {"denoiser": REB},
+        [(S(sun_elevation=el, sun_azimuth=az), dict(d_eye=de))
+         for el, az, de in
+         ((80.0, 0.0, (0, 0, 0)), (45.0, 45.0, (6.0, -3.0, 0)),
+          (12.0, -60.0, (-6.0, 2.0, 3.0)), (3.0, -147.0, (0, -8.0, -2.0)))]
+        + [(S(sun_elevation=60.0, sun_angular_diameter=d), {})
+           for d in (1.0, 3.0)]
+        + [(S(sun_elevation=60.0, roughness_override=0.4), {}),
+           (S(sun_elevation=60.0, exposure=25.0), {})]
+    )
+
+    # stress/fault-injection records (SURVEY.md §5.3; one new config each)
+    out["cornellbox"] += [
+        (S(**shadowless), cam_for("cornellbox"),
+         {"denoiser": REL, "use_firefly_test": True, "use_sanitization": True},
+         None),
+        (S(**shadowless), cam_for("cornellbox"),
+         {"denoiser": REB, "use_inf_stress_test": True,
+          "use_sanitization": True}, None),
+    ]
+    out["shaderballs"] += [
+        (S(sun_elevation=45.0, resolution_scale=0.75), cam_for("shaderballs"),
+         {"denoiser": REB, "use_drs_stress_test": True,
+          "use_sanitization": True}, None),
+        (S(sun_elevation=45.0), cam_for("shaderballs"),
+         {"denoiser": REL, "use_material_id_test": True}, None),
+    ]
+    # more animated coverage: orbit records on configs compiled above
+    out["shaderballs"] += [
+        (S(sun_elevation=45.0), cam_for("shaderballs"),
+         {"denoiser": REB}, {"mode": "orbit", "frames": 3}),
+    ]
+    out["exterior"] += [
+        (S(sun_elevation=60.0), cam_for("exterior"),
+         {"denoiser": REB}, {"mode": "orbit", "frames": 3}),
+    ]
     return out
 
 
