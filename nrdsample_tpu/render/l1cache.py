@@ -7,8 +7,12 @@ weight by viewZ consistency, screen-edge fade, sun-side (back-face) agreement,
 ray length, and the global history confidence. The specular part is further
 attenuated by how view-dependent the hit material is (spec magic curve).
 
-State: the previous frame's ComposedDiff + ComposedSpec planes and viewZ with
-sign(N . sun) folded in (the Composition.cs.hlsl:44-46 trick).
+State: ONE packed (H, W, 7) plane [viewZ*sign(N.sun), diff(3), spec(3)] — the
+prev frame's ComposedDiff/ComposedSpec and the Composition.cs.hlsl:44-46
+signed-viewZ trick. Packing makes the reprojection a single bilinear gather
+instead of three (the wide-gather trick, ~3x on TPU); the sample positions are
+data-dependent (bounce-hit reprojections inside the trace program), so this
+path keeps the robust tap gather form rather than the staged block gather.
 """
 
 from __future__ import annotations
@@ -25,19 +29,25 @@ from nrdsample_tpu.scene import camera as cam_mod
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass
 class L1History:
-    diff: jnp.ndarray          # (H, W, 3) prev composed diffuse (demod-free)
-    spec: jnp.ndarray          # (H, W, 3) prev composed specular
-    view_z_signed: jnp.ndarray  # (H, W) |viewZ| * sign(N.sun)
+    packed: jnp.ndarray        # (H, W, 7): [|viewZ|*sign(N.sun), diff(3), spec(3)]
     valid: jnp.ndarray         # () int32
 
     @staticmethod
     def create(h: int, w: int, dtype=jnp.float32) -> "L1History":
-        return L1History(
-            diff=jnp.zeros((h, w, 3), dtype),
-            spec=jnp.zeros((h, w, 3), dtype),
-            view_z_signed=jnp.full((h, w), 1e5, dtype),
-            valid=jnp.int32(0),
-        )
+        packed = jnp.zeros((h, w, 7), dtype).at[..., 0].set(1e5)
+        return L1History(packed=packed, valid=jnp.int32(0))
+
+    @property
+    def view_z_signed(self) -> jnp.ndarray:
+        return self.packed[..., 0]
+
+    @property
+    def diff(self) -> jnp.ndarray:
+        return self.packed[..., 1:4]
+
+    @property
+    def spec(self) -> jnp.ndarray:
+        return self.packed[..., 4:7]
 
 
 def _linear_step(a, b, x):
@@ -52,7 +62,10 @@ def reproject_irradiance(hist: L1History, cam, props: dict, pixel_idx,
     uv = cam_mod.world_to_uv(cam, x, prev=True)
     pos = uv * jnp.array([width, height], jnp.float32)
 
-    data_z = filtering.sample_bilinear(hist.view_z_signed[..., None], pos)[..., 0]
+    data = filtering.sample_bilinear(hist.packed, pos)  # ONE 7-ch gather
+    data_z = data[..., 0]
+    l_diff = data[..., 1:4]
+    l_spec = data[..., 4:7]
     prev_view_z = jnp.abs(data_z)
 
     view_z = jnp.abs(geo.affine_transform(cam.world_to_view_prev, x)[..., 2])
@@ -80,8 +93,6 @@ def reproject_irradiance(hist: L1History, cam, props: dict, pixel_idx,
     weight = weight * jnp.logical_not(props["miss"])
     weight = weight * prev_frame_confidence * (hist.valid > 0)
 
-    l_diff = filtering.sample_bilinear(hist.diff, pos)
-    l_spec = filtering.sample_bilinear(hist.spec, pos)
     ok = jnp.isfinite(l_diff).all(-1) & jnp.isfinite(l_spec).all(-1)
     weight = weight * ok
     fade = jnp.clip(weight / 0.001, 0.0, 1.0)[..., None]
@@ -114,9 +125,12 @@ def update_history(cam, composed_diff, composed_spec, view_z, normal, sun_dir,
                    height: int, width: int) -> L1History:
     """Build next frame's L1 state (Composition.cs.hlsl outputs)."""
     sgn = jnp.where(geo.dot3(normal, sun_dir) >= 0, 1.0, -1.0)
-    return L1History(
-        diff=composed_diff.reshape(height, width, 3),
-        spec=composed_spec.reshape(height, width, 3),
-        view_z_signed=(jnp.abs(view_z) * sgn).reshape(height, width),
-        valid=jnp.int32(1),
-    )
+    packed = jnp.concatenate(
+        [
+            (jnp.abs(view_z) * sgn)[..., None],
+            composed_diff.reshape(-1, 3),
+            composed_spec.reshape(-1, 3),
+        ],
+        axis=-1,
+    ).reshape(height, width, 7)
+    return L1History(packed=packed, valid=jnp.int32(1))
