@@ -78,7 +78,7 @@ def _packet_kernel(order_hbm, keys_ref,
                    slab_ref,
                    t_out, tri_out,
                    order_smem, dma_sem, any_hit: bool,
-                   interleave: int = 1, prologue: int = 0):
+                   interleave: int = 1, prologue: int = 0, hoist: bool = False):
     """One grid step = PACKETS_PER_STEP ray packets (static unroll). The
     triangle slab table is a full-VMEM resident.
 
@@ -137,7 +137,7 @@ def _packet_kernel(order_hbm, keys_ref,
             _one_packet(
                 p, c, order_smem, keys_ref, ox_ref, oy_ref, oz_ref, dx_ref,
                 dy_ref, dz_ref, tmax_ref, slab_ref, t_out, tri_out,
-                any_hit, SLAB_ROWS, init=states[p],
+                any_hit, SLAB_ROWS, init=states[p], hoist=hoist,
             )
         return
 
@@ -145,7 +145,7 @@ def _packet_kernel(order_hbm, keys_ref,
         _one_packet(
             p, c, order_smem, keys_ref, ox_ref, oy_ref, oz_ref, dx_ref, dy_ref,
             dz_ref, tmax_ref, slab_ref, t_out, tri_out,
-            any_hit, SLAB_ROWS,
+            any_hit, SLAB_ROWS, hoist=hoist,
         )
 
 
@@ -270,11 +270,13 @@ def _packet_group(ps, c, order_smem, keys_ref,
 def _one_packet(p, c, order_smem, keys_ref,
                 ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, tmax_ref,
                 slab_ref, t_out, tri_out, any_hit: bool,
-                slab_rows: int, init=None):
+                slab_rows: int, init=None, hoist: bool = False):
     """One packet's self-terminating traversal loop. A fused all-packets loop
     with pl.when-gated work was tried and measured SLOWER (scalar branches
     around vector work defeat Mosaic's pipelining); independent per-packet
-    loops it is. init: optional resumed loop state (prologue phase)."""
+    loops it is. init: optional resumed loop state (prologue phase).
+    hoist: move the prune-count reduction off the serial cond chain (see
+    _one_packet_hoisted)."""
     ox = ox_ref[p, :][:, None]
     oy = oy_ref[p, :][:, None]
     oz = oz_ref[p, :][:, None]
@@ -288,6 +290,12 @@ def _one_packet(p, c, order_smem, keys_ref,
             jnp.int32(0),
             t0,
             jnp.full(t0.shape, -1, jnp.int32),
+        )
+    if hoist:
+        return _one_packet_hoisted(
+            p, c, order_smem, keys_ref, ox_ref, oy_ref, oz_ref, dx_ref,
+            dy_ref, dz_ref, tmax_ref, slab_ref, t_out, tri_out, any_hit,
+            slab_rows, init,
         )
 
     keys_row = keys_ref[p, :]
@@ -364,6 +372,66 @@ def _one_packet(p, c, order_smem, keys_ref,
 
     state = jax.lax.while_loop(cond_main, make_body(UNROLL), init)
     _, t_best, tri_best = jax.lax.while_loop(
+        cond_tail, make_body(TAIL_UNROLL), state
+    )
+    t_out[p, :] = t_best
+    tri_out[p, :] = tri_best
+
+
+def _one_packet_hoisted(p, c, order_smem, keys_ref,
+                        ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
+                        tmax_ref, slab_ref, t_out, tri_out, any_hit: bool,
+                        slab_rows: int, init):
+    """Variant of _one_packet with the prune-count reduction HOISTED off the
+    serial cond chain: the baseline cond evaluates max(t_best) + a c-lane
+    key comparison + sum every trip, serializing two reductions between
+    trips. Here the body computes next trip's bound from its PRE-merge
+    t_best (independent of the slice->intersect chain, so it overlaps), and
+    the cond is a scalar compare. The bound is one trip stale = one trip
+    conservative: sorted keys only ever prune LATER, never earlier, so extra
+    tests are wasted-but-valid work, and i grows monotonically so the loop
+    terminates."""
+    rays = _ray_planes(p, ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref)
+    keys_row = keys_ref[p, :]
+
+    def prune_count(t_best):
+        pc = jnp.sum((keys_row < jnp.max(t_best)).astype(jnp.int32))
+        if any_hit:
+            done = jnp.logical_not(jnp.any(t_best >= tmax_ref[p, :]))
+            pc = jnp.where(done, jnp.int32(0), pc)
+        return pc
+
+    i0, tb0, tri0 = init
+    init_h = (i0, tb0, tri0, prune_count(tb0))
+
+    def make_body(g: int):
+        def body(state):
+            i, t_best, tri_best, _ = state
+            pc_next = prune_count(t_best)  # no dep on the test chain below
+            cid0 = order_smem[p, jnp.minimum(i, c - 1)]
+            t = _test_cluster(rays, slab_ref, cid0, slab_rows)
+            cid_plane = jnp.broadcast_to(cid0, t.shape)
+            for j in range(1, g):
+                cid_j = order_smem[p, jnp.minimum(i + j, c - 1)]
+                t_j = _test_cluster(rays, slab_ref, cid_j, slab_rows)
+                take = t_j < t
+                cid_plane = jnp.where(take, cid_j, cid_plane)
+                t = jnp.where(take, t_j, t)
+            t_best, tri_best = _merge_group(t, cid_plane, t_best, tri_best)
+            return i + g, t_best, tri_best, pc_next
+
+        return body
+
+    def cond_main(state):
+        i, _, _, pc = state
+        return i + UNROLL <= pc
+
+    def cond_tail(state):
+        i, _, _, pc = state
+        return i < pc
+
+    state = jax.lax.while_loop(cond_main, make_body(UNROLL), init_h)
+    _, t_best, tri_best, _ = jax.lax.while_loop(
         cond_tail, make_body(TAIL_UNROLL), state
     )
     t_out[p, :] = t_best
@@ -692,7 +760,8 @@ def _morton_sort_keys(origin, direction, cs: ClusterSet):
 def closest_hit_packet(cs: ClusterSet, origin, direction, t_max=T_MAX,
                        block: int = BLOCK_RAYS, interpret: bool = False,
                        sort: bool = False, stream: bool | None = None,
-                       interleave: int = 1, prologue: int = 0):
+                       interleave: int = 1, prologue: int = 0,
+                       hoist: bool = False):
     """Packet-traversal closest hit: origin/direction (R, 3), R % block == 0
     after padding (handled here). Returns dict(t, u, v, tri).
 
@@ -723,7 +792,7 @@ def closest_hit_packet(cs: ClusterSet, origin, direction, t_max=T_MAX,
         res = closest_hit_packet(
             cs, packed[:, 0:3], packed[:, 3:6], packed[:, 6],
             block, interpret, sort=False, stream=stream,
-            interleave=interleave, prologue=prologue,
+            interleave=interleave, prologue=prologue, hoist=hoist,
         )
         inv = jnp.argsort(perm)
         out_f = jnp.stack([res["t"], res["u"], res["v"]], axis=1)[inv]
@@ -808,7 +877,7 @@ def closest_hit_packet(cs: ClusterSet, origin, direction, t_max=T_MAX,
     else:
         kernel = functools.partial(
             _packet_kernel, any_hit=False,
-            interleave=interleave, prologue=prologue,
+            interleave=interleave, prologue=prologue, hoist=hoist,
         )
         t, tri = pl.pallas_call(
             kernel,

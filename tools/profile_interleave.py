@@ -41,6 +41,8 @@ for tag, kw in [
     ('inter2', dict(interleave=2)),
     ('inter4', dict(interleave=4)),
     ('inter8', dict(interleave=8)),
+    ('hoist', dict(hoist=True)),
+    ('prologue2+hoist', dict(prologue=2, hoist=True)),
 ]:
     fn = jax.jit(lambda o, d, kw=kw: packet.closest_hit_packet(cs, o, d, **kw))
     out = bench(f'primary {tag}', fn, o, d)
@@ -55,6 +57,7 @@ for tag, kw in [
     ('baseline', {}),
     ('prologue2', dict(prologue=2)),
     ('inter4', dict(interleave=4)),
+    ('hoist', dict(hoist=True)),
 ]:
     fn = jax.jit(lambda o, d, kw=kw: packet.closest_hit_packet(cs, o, d, sort=True, **kw))
     bench(f'sorted-jumbled {tag}', fn, oj, dj)
