@@ -129,10 +129,13 @@ def run_config(name: str, spec: dict, n_iter: int = 8) -> dict:
     settings = Settings(**skw)
     history = frame_mod.History.create(cfg)
 
-    # staged frame: separate jit programs per phase so history gathers run in
-    # a dedicated gathers-only program (the fast TPU gather emitter; see
-    # denoise/gatherpass.py). Do NOT wrap in an outer jit.
-    frame_fn = frame_mod.make_staged_frame(ctx, cfg)
+    # monolithic frame: ONE jit program per frame. The staged gather-pass
+    # variant (make_staged_frame) measured 4.5x faster in isolation, but on
+    # the current libtpu runtime executing ANY other nontrivial program
+    # permanently degrades the footprint-gather emitter ~5000x
+    # (tools/profile_staged_dn*.py), so end-to-end the staged frame is 4x
+    # SLOWER (541 ms vs 17 ms denoise cycle). Monolithic programs are immune.
+    frame_fn = frame_mod.make_jitted_frame(ctx, cfg)
 
     def step(history):
         out, new_h = frame_fn(scene, cam, settings, history)
@@ -186,25 +189,12 @@ def bench_denoise(size: int = 512, n_iter: int = 10) -> dict:
     # constants that axon re-uploads over the tunnel every call), and the
     # history cycles through the step so entry layouts reach steady state
     # (a mismatched history layout costs a ~260 ms/call relayout transfer).
-    # Staged: the history gather runs as its own program (gatherpass).
-    from nrdsample_tpu.mathlib import filtering
-
+    # Monolithic on purpose: the staged gather-pass variant hits the libtpu
+    # gather-emitter degradation (see make_staged_frame docstring).
     @jax.jit
-    def dn_plan(hist, mv):
-        return relax.taccum_requests(hist, mv[..., :2])
-
-    @jax.jit
-    def dn_gather(plane, pos):
-        return filtering.sample_bilinear_block(plane, pos)
-
-    @jax.jit
-    def dn_finish(hist, img, vz, nrm, mv, pre):
-        out, new_h = relax.denoise(hist, img, vz, nrm, mv, pre=pre)
-        return out, new_h
-
     def dn(hist, img, vz, nrm, mv):
-        plane, pos = dn_plan(hist, mv)
-        return dn_finish(hist, img, vz, nrm, mv, dn_gather(plane, pos))
+        out, new_h = relax.denoise(hist, img, vz, nrm, mv)
+        return out, new_h
 
     out_d, rh = dn(rh, rs_img, vz, nrm, mv)
     out_d, rh = dn(rh, rs_img, vz, nrm, mv)

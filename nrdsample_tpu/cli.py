@@ -103,7 +103,10 @@ def cmd_render(args) -> int:
         file=sys.stderr,
     )
 
-    frame_fn = frame_mod.make_staged_frame(ctx, cfg)
+    # monolithic jit: the staged gather-pass frame is faster in isolation but
+    # trips a libtpu-runtime gather-emitter degradation once any other
+    # program runs (see make_staged_frame docstring); monolithic is immune
+    frame_fn = frame_mod.make_jitted_frame(ctx, cfg)
     history = frame_mod.History.create(cfg)
     t0 = time.perf_counter()
     out = None
