@@ -923,10 +923,12 @@ def closest_hit_packet(cs: ClusterSet, origin, direction, t_max=T_MAX,
 
 def any_hit_packet(cs: ClusterSet, origin, direction, t_max,
                    block: int = BLOCK_RAYS, interpret: bool = False,
-                   sort: bool = False, stream: bool | None = None):
+                   sort: bool = False, stream: bool | None = None,
+                   hoist: bool = False):
     """Occlusion query via the same kernel (closest-hit then compare)."""
     res = closest_hit_packet(
-        cs, origin, direction, t_max, block, interpret, sort, stream
+        cs, origin, direction, t_max, block, interpret, sort, stream,
+        hoist=hoist,
     )
     t_max = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), origin.shape[:1])
     return (res["tri"] >= 0) & (res["t"] < t_max)
