@@ -34,6 +34,26 @@ def shifted(img: jnp.ndarray, dy: int, dx: int) -> jnp.ndarray:
     return padded[y0:y0 + h, x0:x0 + w]
 
 
+def shifted_dyn(img: jnp.ndarray, dy, dx, max_shift: int) -> jnp.ndarray:
+    """`shifted` with TRACED (dy, dx), |dy|,|dx| <= max_shift (static).
+
+    Exactly clamp-to-edge (bit-identical to `shifted`): edge-pad by max_shift
+    once, then dynamic_slice at (max_shift+dy, max_shift+dx) — edge-mode
+    padding replicates the border value, which IS index clamping for shifts
+    within the pad. Used by the lax.scan'd à-trous chains, where the dilation
+    step varies per scan iteration (compile-cost fix: the unrolled chains made
+    the frame graph big enough to stall XLA:CPU / GSPMD compiles)."""
+    h, w = img.shape[0], img.shape[1]
+    pad = ((max_shift, max_shift), (max_shift, max_shift)) + ((0, 0),) * (img.ndim - 2)
+    padded = jnp.pad(img, pad, mode="edge")
+    import jax
+
+    start = (max_shift + jnp.asarray(dy, jnp.int32),
+             max_shift + jnp.asarray(dx, jnp.int32))
+    start = start + (jnp.int32(0),) * (img.ndim - 2)
+    return jax.lax.dynamic_slice(padded, start, (h, w) + img.shape[2:])
+
+
 def stencil_taps(radius: int):
     """(dy, dx) offsets of a (2r+1)² stencil."""
     return [

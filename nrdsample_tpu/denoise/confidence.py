@@ -44,17 +44,20 @@ def atrous_blur(grad: jnp.ndarray, view_z: jnp.ndarray, normal: jnp.ndarray,
     """5-iteration cross-bilateral à-trous blur of the gradient
     (ConfidenceBlur.cs.hlsl:33-87): Gaussian x plane-distance x normal² weights."""
     gauss = [0.25, 0.5, 0.25]
-    out = grad
-    for it in range(iterations):
-        step = 1 << it
+    max_step = 1 << (iterations - 1)
+    steps = jnp.array([1 << it for it in range(iterations)], jnp.int32)
+    geom = jnp.concatenate([view_z[..., None], normal], axis=-1)
+
+    # scan over dilation steps (compile-cost fix — see relax.denoise)
+    def body(out, step):
         acc = jnp.zeros_like(out)
         acc_w = jnp.zeros_like(out)
+        packed = jnp.concatenate([out[..., None], geom], axis=-1)
         for iy, ky in enumerate(gauss):
             for ix, kx in enumerate(gauss):
                 dy, dx = (iy - 1) * step, (ix - 1) * step
-                g_n = common.shifted(out, dy, dx)
-                z_n = common.shifted(view_z, dy, dx)
-                n_n = common.shifted(normal, dy, dx)
+                tap = common.shifted_dyn(packed, dy, dx, max_step)
+                g_n, z_n, n_n = tap[..., 0], tap[..., 1], tap[..., 2:5]
                 wz = jnp.exp(
                     -jnp.abs(z_n - view_z) / jnp.maximum(jnp.abs(view_z) * 0.1, 1e-3)
                 )
@@ -62,7 +65,9 @@ def atrous_blur(grad: jnp.ndarray, view_z: jnp.ndarray, normal: jnp.ndarray,
                 w = ky * kx * wz * wn
                 acc = acc + g_n * w
                 acc_w = acc_w + w
-        out = acc / jnp.maximum(acc_w, 1e-9)
+        return acc / jnp.maximum(acc_w, 1e-9), None
+
+    out, _ = jax.lax.scan(body, grad, steps)
     return out
 
 

@@ -136,16 +136,31 @@ def estimate_variance(illum, moments, frames):
 _KERNEL_3 = [1.0 / 4.0, 1.0 / 2.0, 1.0 / 4.0]  # B3-spline atrous 1D weights
 
 
-def atrous_iteration(illum, variance, view_z, normal, step: int, s: RelaxSettings):
+def atrous_iteration(illum, variance, view_z, normal, step, s: RelaxSettings,
+                     max_step: int | None = None):
     """One edge-aware à-trous wavelet iteration (5x5 via separable-ish 3x3 at
     stride `step`; SVGF uses 5x5 B3, we use the 3x3x(2 iters) equivalent shape
-    with powers-of-two strides)."""
+    with powers-of-two strides).
+
+    `step` may be a TRACED value when `max_step` (static bound) is given — the
+    lax.scan'd chain in `denoise` uses that form (shifted_dyn is bit-identical
+    to the static shifted)."""
     lum_c = common.luminance(illum)
     # +eps inside sqrt: d/dx sqrt(0) = inf poisons autodiff (NaN via 0*inf)
     sigma_l = jnp.sqrt(
         jnp.maximum(variance, 0.0) + 1e-12
     ) * s.phi_luminance + 1e-4
 
+    def shift(a, dy, dx):
+        if max_step is None:
+            return common.shifted(a, dy, dx)
+        return common.shifted_dyn(a, dy, dx, max_step)
+
+    # pack the per-tap planes into ONE channel stack so the dynamic-slice form
+    # pays one padded copy per tap, not four
+    packed = jnp.concatenate(
+        [illum, variance[..., None], view_z[..., None], normal], axis=-1
+    )
     acc = jnp.zeros_like(illum)
     acc_var = jnp.zeros_like(variance)
     acc_w = jnp.zeros_like(variance)
@@ -154,10 +169,9 @@ def atrous_iteration(illum, variance, view_z, normal, step: int, s: RelaxSetting
             dy = (iy - 1) * step
             dx = (ix - 1) * step
             k = ky * kx
-            illum_n = common.shifted(illum, dy, dx)
-            var_n = common.shifted(variance, dy, dx)
-            z_n = common.shifted(view_z, dy, dx)
-            n_n = common.shifted(normal, dy, dx)
+            tap = shift(packed, dy, dx)
+            illum_n, var_n = tap[..., 0:3], tap[..., 3]
+            z_n, n_n = tap[..., 4], tap[..., 5:8]
             lum_n = common.luminance(illum_n)
             wz = jnp.exp(
                 -jnp.abs(z_n - view_z)
@@ -188,12 +202,26 @@ def denoise(hist: RelaxHistory, illum, view_z, normal, mv,
         hist, illum, view_z, normal, mv, s, reset, confidence, pre=pre
     )
     variance = estimate_variance(acc_illum, acc_moments, frames)
-    out = acc_illum
-    var = variance
-    for i in range(s.atrous_iterations):
-        out, var = atrous_iteration(out, var, view_z, normal, 1 << i, s)
-        if i == 0:
-            # feed the first-iteration result back as the next frame's history
-            # (standard SVGF trick: reduces temporal lag artifacts)
-            new_hist = dataclasses.replace(new_hist, illum=out)
+    # à-trous chain as lax.scan over the dilation steps: one compiled body
+    # instead of atrous_iterations unrolled copies (the unrolled form made the
+    # full-frame grad graph big enough to stall XLA:CPU/GSPMD compiles)
+    n_it = s.atrous_iterations
+    max_step = 1 << (n_it - 1)
+    steps = jnp.array([1 << i for i in range(n_it)], jnp.int32)
+
+    def body(carry, step_i):
+        out, var, first = carry
+        i, step = step_i
+        out2, var2 = atrous_iteration(out, var, view_z, normal, step, s,
+                                      max_step=max_step)
+        # feed the first-iteration result back as the next frame's history
+        # (standard SVGF trick: reduces temporal lag artifacts)
+        first = jnp.where(i == 0, out2, first)
+        return (out2, var2, first), None
+
+    (out, _, first_out), _ = jax.lax.scan(
+        body, (acc_illum, variance, acc_illum),
+        (jnp.arange(n_it, dtype=jnp.int32), steps),
+    )
+    new_hist = dataclasses.replace(new_hist, illum=first_out)
     return out, new_hist

@@ -82,24 +82,32 @@ def reservoir_sample_direction(props: dict, em: dict, is_diffuse: jnp.ndarray,
 
     sum_i = jnp.zeros(x.shape[:-1])
     chosen_i = jnp.ones(x.shape[:-1])
-    ray_local = None
+    ray_local = jnp.zeros_like(x)
 
-    for k in range(n_candidates):
+    # candidate loop as lax.scan (compile-cost: one body, not K unrolled
+    # probes); identical math/order to the unrolled form — at k==0 the first
+    # candidate seeds the reservoir unconditionally
+    def body(carry, k):
+        sum_i, chosen_i, ray_local = carry
         rnd = rng.uniform2(pixel_idx, frame, dim + 3 * k)
         cand_diff = sampling.cosine_ray(rnd)
         h = sampling.vndf_ggx(rnd, v_local, props["roughness"], trim)
         cand_spec = geo.reflect(-v_local, h)
         cand = jnp.where(is_diffuse[..., None], cand_diff, cand_spec)
-        if k == 0:
-            ray_local = cand
         active = k < k_eff
         cand_world = sampling.to_world(cand, n)
         li = light_probe(em, origin, cand_world) * active
         sum_i = sum_i + li
         take_rnd = rng.uniform1(pixel_idx, frame, dim + 3 * k + 2)
         take = (li > 0.0) & (take_rnd < li / jnp.maximum(sum_i, 1e-9))
-        ray_local = jnp.where(take[..., None], cand, ray_local)
+        ray_local = jnp.where((take | (k == 0))[..., None], cand, ray_local)
         chosen_i = jnp.where(take, li, chosen_i)
+        return (sum_i, chosen_i, ray_local), None
+
+    (sum_i, chosen_i, ray_local), _ = jax.lax.scan(
+        body, (sum_i, chosen_i, ray_local),
+        jnp.arange(n_candidates, dtype=jnp.int32),
+    )
 
     mult = sum_i / (chosen_i * jnp.maximum(k_eff, 1.0))
     mult = jnp.minimum(mult, 8.0)  # firefly clamp (RaytracingShared.hlsli:836)

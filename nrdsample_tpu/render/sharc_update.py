@@ -61,11 +61,14 @@ def sharc_update_pass(ctx: traversal.TraceContext, scene: Scene, cam: Camera,
         settings.emission_intensity,
     )
 
-    verts = []
     alive = jnp.logical_not(props["miss"])
     probe_vz = cam_mod.world_to_view_z(cam, props["x"])
     probe_n = props["n"]
-    for bounce in range(cfgmod.SHARC_PROPAGATION_DEPTH):
+
+    # propagation as lax.scan (compile-cost: one traced bounce body), stacking
+    # per-vertex records; the backward suffix sweep is a reverse scan
+    def fwd_body(carry, bounce):
+        props, alive = carry
         dim = 800_000 + 1000 * bounce
         # direct lighting at this vertex
         view_z = cam_mod.world_to_view_z(cam, props["x"])
@@ -87,12 +90,8 @@ def sharc_update_pass(ctx: traversal.TraceContext, scene: Scene, cam: Camera,
         # lambert cosine-sampled: per-segment throughput = diffuse albedo
         seg_w = props["base_color"] * (1.0 - props["metalness"][..., None])
 
-        verts.append(
-            {
-                "x": props["x"], "n": props["n"], "l": l_direct,
-                "w": seg_w, "alive": alive,
-            }
-        )
+        vert = {"x": props["x"], "n": props["n"], "l": l_direct, "w": seg_w,
+                "alive": alive}
 
         xo = geo.offset_ray(
             props["x"], props["n_geom"], view_z, unproject, cfgmod.PT_BOUNCE_RAY_OFFSET
@@ -103,22 +102,33 @@ def sharc_update_pass(ctx: traversal.TraceContext, scene: Scene, cam: Camera,
             settings.emission_intensity,
         )
         alive = alive & jnp.logical_not(props["miss"])
+        return (props, alive), vert
+
+    depth = cfgmod.SHARC_PROPAGATION_DEPTH
+    (props, alive), verts = jax.lax.scan(
+        fwd_body, (props, alive), jnp.arange(depth, dtype=jnp.int32)
+    )
 
     # tail: sky/emission seen by the last segment
     l_tail = props["lemi"]
 
-    # backward sweep: suffix radiance at each vertex
-    l_next = l_tail
-    updates = []
-    for v in reversed(verts):
-        l_here = v["l"] + v["w"] * l_next
-        updates.append((v["x"], v["n"], l_here, v["alive"]))
-        l_next = l_here
+    # backward sweep: suffix radiance at each vertex (reverse scan)
+    def back_body(l_next, vert):
+        l_here = vert["l"] + vert["w"] * l_next
+        return l_here, l_here
 
-    xs = jnp.concatenate([u[0] for u in updates], axis=0)
-    ns = jnp.concatenate([u[1] for u in updates], axis=0)
-    ls = jnp.concatenate([u[2] for u in updates], axis=0)
-    ms = jnp.concatenate([u[3] for u in updates], axis=0)
+    _, l_heres = jax.lax.scan(
+        back_body, l_tail, {"l": verts["l"], "w": verts["w"]}, reverse=True
+    )
+
+    # flatten in the original last-vertex-first order
+    def rev_flat(a):
+        return jnp.flip(a, axis=0).reshape((depth * n_px,) + a.shape[2:])
+
+    xs = rev_flat(verts["x"])
+    ns = rev_flat(verts["n"])
+    ls = rev_flat(l_heres)
+    ms = rev_flat(verts["alive"])
     # LOD transition dithering on the WRITE side too, so both rings near a
     # level boundary stay populated for the dithered queries
     lod_dither = rng.uniform1(jnp.arange(xs.shape[0], dtype=jnp.int32), frame, 800_077)
@@ -129,7 +139,7 @@ def sharc_update_pass(ctx: traversal.TraceContext, scene: Scene, cam: Camera,
     # (SharcUpdate.cs.hlsl:104-107 luminance+normal+viewZ store; the gradient
     # consumer is denoise/confidence.py): first-vertex suffix radiance +
     # primary viewZ/normal at probe resolution
-    first_l = updates[-1][2]  # suffix radiance at the FIRST path vertex
+    first_l = l_heres[0]  # suffix radiance at the FIRST path vertex
     probes = {
         "radiance": first_l.reshape(sh, sw, 3),
         "view_z": probe_vz.reshape(sh, sw),

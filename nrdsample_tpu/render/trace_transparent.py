@@ -76,13 +76,16 @@ def _delta_chain(ctxs, scene, cfg: RenderConfig, settings, frame, pixel_idx,
     rad0 = jnp.zeros((n_px, 3), f32)   # radiance if shadowed
     rad1 = jnp.zeros((n_px, 3), f32)   # radiance if lit
     alive = start_mask
-    is_reflection = start_is_reflection
     # latched end-of-chain shade point for the deferred shadow launch
     end_x = origin
     end_n = jnp.broadcast_to(jnp.array([0.0, 0.0, 1.0], f32), origin.shape)
     end_shadowable = jnp.zeros((n_px,), bool)
 
-    for bounce in range(cfg.delta_bounce_num):
+    # bounce loop as lax.scan (compile-cost: one body instead of
+    # delta_bounce_num unrolled traversals; identical math/order)
+    def bounce_body(carry, bounce):
+        (props, inside, throughput, rad0, rad1, alive, end_x, end_n,
+         end_shadowable) = carry
         dim = 700_000 + 1000 * bounce
         n = props["n"]
         v = props["v"]
@@ -90,14 +93,15 @@ def _delta_chain(ctxs, scene, cfg: RenderConfig, settings, frame, pixel_idx,
         eta = jnp.where(inside, 1.0 / ior, ior)  # n_t / n_i at this interface
         f = _fresnel_dielectric(cos_i, eta)
 
-        if bounce == 0:
-            reflect_now = is_reflection
-            w = jnp.where(reflect_now, f, 1.0 - f)
-        else:
-            # Fresnel-driven stochastic choice (TraceTransparent.cs.hlsl:50-70)
-            rnd = rng.uniform1(pixel_idx, frame, dim)
-            reflect_now = rnd < f
-            w = jnp.ones_like(f)  # probability cancels the Fresnel weight
+        # bounce 0: the chain id fixes the first event (reflection vs
+        # refraction, Fresnel-weighted); later bounces: Fresnel-driven
+        # stochastic choice (TraceTransparent.cs.hlsl:50-70), probability
+        # cancels the weight
+        first = bounce == 0
+        rnd = rng.uniform1(pixel_idx, frame, dim)
+        reflect_now = jnp.where(first, start_is_reflection, rnd < f)
+        w = jnp.where(first, jnp.where(reflect_now, f, 1.0 - f),
+                      jnp.ones_like(f))
 
         ray_refl = geo.reflect(-v, n)
         # refraction: incident = -v, relative index n_i/n_t = 1/eta
@@ -171,7 +175,16 @@ def _delta_chain(ctxs, scene, cfg: RenderConfig, settings, frame, pixel_idx,
         end_n = jnp.where(latch, new_props["n_geom"], end_n)
         end_shadowable = end_shadowable | (ended & shadow_dep)
         alive = alive & hit_is_glass
-        props = new_props
+        return (new_props, inside, throughput, rad0, rad1, alive, end_x,
+                end_n, end_shadowable), None
+
+    carry = (props, inside, throughput, rad0, rad1, alive, end_x, end_n,
+             end_shadowable)
+    carry, _ = jax.lax.scan(
+        bounce_body, carry, jnp.arange(cfg.delta_bounce_num, dtype=jnp.int32)
+    )
+    (props, inside, throughput, rad0, rad1, alive, end_x, end_n,
+     end_shadowable) = carry
 
     # ---- ONE deferred shadow launch for all chain ends ----
     vz = cam_mod.world_to_view_z(cam, end_x)
