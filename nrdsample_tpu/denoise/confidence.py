@@ -26,17 +26,35 @@ from nrdsample_tpu.mathlib import color, rng
 @dataclasses.dataclass
 class ConfidenceHistory:
     probe_lum: jnp.ndarray   # (Hs, Ws) last frame's probe luminance
+    view_z: jnp.ndarray      # (Hs, Ws) last frame's probe viewZ (z-rejection)
 
     @staticmethod
     def create(hs: int, ws: int, dtype=jnp.float32) -> "ConfidenceHistory":
-        return ConfidenceHistory(probe_lum=jnp.zeros((hs, ws), dtype))
+        return ConfidenceHistory(probe_lum=jnp.zeros((hs, ws), dtype),
+                                 view_z=jnp.full((hs, ws), 1e5, dtype))
 
 
-def gradient_from_probes(hist: ConfidenceHistory, probe_radiance: jnp.ndarray):
-    """|L_now - L_prev| luminance gradient at probe resolution."""
-    lum = color.luminance(probe_radiance)
-    grad = jnp.abs(lum - hist.probe_lum)
-    return grad, ConfidenceHistory(probe_lum=lum)
+def gradient_from_probes(hist: ConfidenceHistory, probes: dict):
+    """Lighting-change gradient at probe resolution.
+
+    With probes["prev_retrace_lum"] (the PREV-frame probe paths re-traced
+    under current lighting with the prev RNG seed — SharcUpdate.cs.hlsl:
+    222-250) the gradient is |L_prev_retraced - L_prev_stored|: the replayed
+    path has identical sampling noise, so the diff isolates true lighting
+    change. Z-occlusion rejection (:242-246) zeroes the gradient where the
+    retraced primary depth no longer matches the stored one (camera motion /
+    occlusion, not lighting). Falls back to the re-jittered diff
+    |L_now - L_prev| when no retrace is provided."""
+    lum_curr = color.luminance(probes["radiance"])
+    if "prev_retrace_lum" in probes:
+        grad = jnp.abs(probes["prev_retrace_lum"] - hist.probe_lum)
+        rel = jnp.abs(probes["prev_retrace_vz"] - hist.view_z) / jnp.maximum(
+            jnp.abs(hist.view_z), 1e-3
+        )
+        grad = jnp.where(rel < 0.05, grad, 0.0)
+    else:
+        grad = jnp.abs(lum_curr - hist.probe_lum)
+    return grad, ConfidenceHistory(probe_lum=lum_curr, view_z=probes["view_z"])
 
 
 def atrous_blur(grad: jnp.ndarray, view_z: jnp.ndarray, normal: jnp.ndarray,

@@ -76,8 +76,8 @@ TAIL_UNROLL = 2       # trip width of the remainder loop (the <UNROLL leftover
 def _packet_kernel(order_hbm, keys_ref,
                    ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, tmax_ref,
                    slab_ref,
-                   t_out, tri_out,
-                   order_smem, dma_sem, any_hit: bool,
+                   t_out, tri_out, u_out, v_out,
+                   order_smem, dma_sem, any_hit: bool, track_uv: bool = True,
                    interleave: int = 1, prologue: int = 0, hoist: bool = False):
     """One grid step = PACKETS_PER_STEP ray packets (static unroll). The
     triangle slab table is a full-VMEM resident.
@@ -114,12 +114,18 @@ def _packet_kernel(order_hbm, keys_ref,
     dma.start()
     dma.wait()
 
+    if not track_uv:
+        # occlusion queries never read u/v; write the (required) outputs once
+        u_out[...] = jnp.zeros_like(u_out)
+        v_out[...] = jnp.zeros_like(v_out)
+    uv = (u_out, v_out) if track_uv else None
+
     if interleave > 1:
         for p0 in range(0, PACKETS_PER_STEP, interleave):
             _packet_group(
                 list(range(p0, p0 + interleave)), c, order_smem, keys_ref,
                 ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, tmax_ref,
-                slab_ref, t_out, tri_out, any_hit, SLAB_ROWS,
+                slab_ref, t_out, tri_out, uv, any_hit, SLAB_ROWS,
             )
         return
     if prologue > 0:
@@ -128,7 +134,7 @@ def _packet_kernel(order_hbm, keys_ref,
         states = [
             _packet_prologue(
                 p, c, order_smem, ox_ref, oy_ref, oz_ref, dx_ref, dy_ref,
-                dz_ref, tmax_ref, slab_ref, SLAB_ROWS, prologue,
+                dz_ref, tmax_ref, slab_ref, SLAB_ROWS, prologue, track_uv,
             )
             for p in range(PACKETS_PER_STEP)
         ]
@@ -136,7 +142,7 @@ def _packet_kernel(order_hbm, keys_ref,
         for p in range(PACKETS_PER_STEP):
             _one_packet(
                 p, c, order_smem, keys_ref, ox_ref, oy_ref, oz_ref, dx_ref,
-                dy_ref, dz_ref, tmax_ref, slab_ref, t_out, tri_out,
+                dy_ref, dz_ref, tmax_ref, slab_ref, t_out, tri_out, uv,
                 any_hit, SLAB_ROWS, init=states[p], hoist=hoist,
             )
         return
@@ -144,7 +150,7 @@ def _packet_kernel(order_hbm, keys_ref,
     for p in range(PACKETS_PER_STEP):
         _one_packet(
             p, c, order_smem, keys_ref, ox_ref, oy_ref, oz_ref, dx_ref, dy_ref,
-            dz_ref, tmax_ref, slab_ref, t_out, tri_out,
+            dz_ref, tmax_ref, slab_ref, t_out, tri_out, uv,
             any_hit, SLAB_ROWS, hoist=hoist,
         )
 
@@ -157,6 +163,8 @@ def _ray_planes(p, ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref):
 
 
 def _test_cluster(rays, slab_ref, cid, slab_rows):
+    """(t, u, v) planes for one cluster; t = T_MAX on miss (u/v garbage there
+    — every consumer selects by t)."""
     blk = slab_ref[pl.ds(cid * slab_rows, slab_rows), :]  # (16, K)
     t, u, v, hit = _mt_block(
         *rays,
@@ -164,11 +172,18 @@ def _test_cluster(rays, slab_ref, cid, slab_rows):
         blk[3:4, :], blk[4:5, :], blk[5:6, :],
         blk[6:7, :], blk[7:8, :], blk[8:9, :],
     )
-    return jnp.where(hit, t, T_MAX)
+    return jnp.where(hit, t, T_MAX), u, v
 
 
-def _merge_group(t, cid_plane, t_best, tri_best):
-    """Fold a (B, K) t-plane + block-uniform-ish cid plane into per-ray best."""
+def _merge_group(t, cid_plane, best, u=None, v=None):
+    """Fold a (B, K) t-plane + block-uniform-ish cid plane into per-ray best.
+
+    best = (t_best, tri_best[, u_best, v_best]). u/v of the winning triangle
+    are tracked IN-KERNEL via the same sel-mask reductions as cid — the XLA
+    gather that used to reconstruct them outside the kernel measured 6.4 ms
+    per 262k-ray launch (~75% of the kernel's own cost), while these
+    reductions ride the latency-bound loop for ~free."""
+    t_best, tri_best = best[0], best[1]
     t = jnp.where(t < t_best[:, None], t, T_MAX)
     k = t.shape[1]
     idxs = jax.lax.broadcasted_iota(jnp.int32, t.shape, 1)
@@ -178,37 +193,70 @@ def _merge_group(t, cid_plane, t_best, tri_best):
     sel = idxs == kmin[:, None]
     cid_win = jnp.max(jnp.where(sel, cid_plane, 0), axis=-1)
     closer = tmin < t_best
-    t_best = jnp.where(closer, tmin, t_best)
-    tri_best = jnp.where(closer, cid_win * CLUSTER_SIZE + kmin, tri_best)
-    return t_best, tri_best
+    t_new = jnp.where(closer, tmin, t_best)
+    tri_new = jnp.where(closer, cid_win * CLUSTER_SIZE + kmin, tri_best)
+    if len(best) == 2:
+        return t_new, tri_new
+    u_win = jnp.max(jnp.where(sel, u, -1.0), axis=-1)
+    v_win = jnp.max(jnp.where(sel, v, -1.0), axis=-1)
+    return (t_new, tri_new,
+            jnp.where(closer, u_win, best[2]),
+            jnp.where(closer, v_win, best[3]))
+
+
+def _fold_tests(rays, slab_ref, order_smem, p, i, c, g, slab_rows,
+                track_uv: bool):
+    """Test g consecutive worklist clusters, folding them into ONE
+    (t, cid_plane[, u, v]) plane set by per-slot min."""
+    cid0 = order_smem[p, jnp.minimum(i, c - 1)]
+    t, u, v = _test_cluster(rays, slab_ref, cid0, slab_rows)
+    cid_plane = jnp.broadcast_to(cid0, t.shape)
+    for j in range(1, g):
+        cid_j = order_smem[p, jnp.minimum(i + j, c - 1)]
+        t_j, u_j, v_j = _test_cluster(rays, slab_ref, cid_j, slab_rows)
+        take = t_j < t
+        cid_plane = jnp.where(take, cid_j, cid_plane)
+        t = jnp.where(take, t_j, t)
+        if track_uv:
+            u = jnp.where(take, u_j, u)
+            v = jnp.where(take, v_j, v)
+    return (t, cid_plane, u, v) if track_uv else (t, cid_plane, None, None)
+
+
+def _init_best(t0, track_uv: bool):
+    tri0 = jnp.full(t0.shape, -1, jnp.int32)
+    if track_uv:
+        return (t0, tri0, jnp.zeros_like(t0), jnp.zeros_like(t0))
+    return (t0, tri0)
+
+
+def _write_best(p, best, t_out, tri_out, uv):
+    t_out[p, :] = best[0]
+    tri_out[p, :] = best[1]
+    if uv is not None:
+        uv[0][p, :] = best[2]
+        uv[1][p, :] = best[3]
 
 
 def _packet_prologue(p, c, order_smem, ox_ref, oy_ref, oz_ref, dx_ref, dy_ref,
-                     dz_ref, tmax_ref, slab_ref, slab_rows: int, g: int):
+                     dz_ref, tmax_ref, slab_ref, slab_rows: int, g: int,
+                     track_uv: bool):
     """Unconditionally test the first g worklist clusters of packet p
     (straight-line code; junk entries past the real worklist are valid cluster
     ids — extra tests only ever find true hits). Returns a loop state resumed
     at i=g."""
     rays = _ray_planes(p, ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref)
     t0 = tmax_ref[p, :]
-    cid0 = order_smem[p, 0]
-    t = _test_cluster(rays, slab_ref, cid0, slab_rows)
-    cid_plane = jnp.broadcast_to(cid0, t.shape)
-    for j in range(1, g):
-        cid_j = order_smem[p, jnp.minimum(jnp.int32(j), c - 1)]
-        t_j = _test_cluster(rays, slab_ref, cid_j, slab_rows)
-        take = t_j < t
-        cid_plane = jnp.where(take, cid_j, cid_plane)
-        t = jnp.where(take, t_j, t)
-    t_best, tri_best = _merge_group(
-        t, cid_plane, t0, jnp.full(t0.shape, -1, jnp.int32)
+    t, cid_plane, u, v = _fold_tests(
+        rays, slab_ref, order_smem, p, jnp.int32(0), c, g, slab_rows, track_uv
     )
-    return jnp.int32(g), t_best, tri_best
+    best = _merge_group(t, cid_plane, _init_best(t0, track_uv), u, v)
+    return (jnp.int32(g),) + best
 
 
 def _packet_group(ps, c, order_smem, keys_ref,
                   ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, tmax_ref,
-                  slab_ref, t_out, tri_out, any_hit: bool, slab_rows: int):
+                  slab_ref, t_out, tri_out, uv, any_hit: bool, slab_rows: int):
     """len(ps) packets traversed in ONE fused while loop: each trip tests
     TAIL_UNROLL clusters of EVERY packet (independent latency chains overlap).
     No per-packet gating — finished packets test junk worklist entries, which
@@ -216,6 +264,8 @@ def _packet_group(ps, c, order_smem, keys_ref,
     latency-hidden; pl.when gating was measured slower)."""
     n = len(ps)
     g = TAIL_UNROLL
+    track_uv = uv is not None
+    w = 4 if track_uv else 2  # state words per packet
     rays = [
         _ray_planes(p, ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref)
         for p in ps
@@ -223,17 +273,15 @@ def _packet_group(ps, c, order_smem, keys_ref,
     t0s = [tmax_ref[p, :] for p in ps]
     keys = [keys_ref[p, :] for p in ps]
 
-    init = (
-        (jnp.int32(0),)
-        + tuple(t0s)
-        + tuple(jnp.full(t0.shape, -1, jnp.int32) for t0 in t0s)
-    )
+    init = (jnp.int32(0),)
+    for t0 in t0s:
+        init = init + _init_best(t0, track_uv)
 
     def cond(state):
         i = state[0]
         pc = jnp.int32(0)
         for k in range(n):
-            t_best = state[1 + k]
+            t_best = state[1 + w * k]
             pck = jnp.sum((keys[k] < jnp.max(t_best)).astype(jnp.int32))
             if any_hit:
                 done = jnp.logical_not(jnp.any(t_best >= tmax_ref[ps[k], :]))
@@ -243,33 +291,23 @@ def _packet_group(ps, c, order_smem, keys_ref,
 
     def body(state):
         i = state[0]
-        out_t = []
-        out_tri = []
+        out = (i + g,)
         for k, p in enumerate(ps):
-            t_best, tri_best = state[1 + k], state[1 + n + k]
-            cid0 = order_smem[p, jnp.minimum(i, c - 1)]
-            t = _test_cluster(rays[k], slab_ref, cid0, slab_rows)
-            cid_plane = jnp.broadcast_to(cid0, t.shape)
-            for j in range(1, g):
-                cid_j = order_smem[p, jnp.minimum(i + j, c - 1)]
-                t_j = _test_cluster(rays[k], slab_ref, cid_j, slab_rows)
-                take = t_j < t
-                cid_plane = jnp.where(take, cid_j, cid_plane)
-                t = jnp.where(take, t_j, t)
-            t_best, tri_best = _merge_group(t, cid_plane, t_best, tri_best)
-            out_t.append(t_best)
-            out_tri.append(tri_best)
-        return (i + g,) + tuple(out_t) + tuple(out_tri)
+            best = state[1 + w * k:1 + w * (k + 1)]
+            t, cid_plane, u, v = _fold_tests(
+                rays[k], slab_ref, order_smem, p, i, c, g, slab_rows, track_uv
+            )
+            out = out + _merge_group(t, cid_plane, best, u, v)
+        return out
 
     state = jax.lax.while_loop(cond, body, init)
     for k, p in enumerate(ps):
-        t_out[p, :] = state[1 + k]
-        tri_out[p, :] = state[1 + n + k]
+        _write_best(p, state[1 + w * k:1 + w * (k + 1)], t_out, tri_out, uv)
 
 
 def _one_packet(p, c, order_smem, keys_ref,
                 ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, tmax_ref,
-                slab_ref, t_out, tri_out, any_hit: bool,
+                slab_ref, t_out, tri_out, uv, any_hit: bool,
                 slab_rows: int, init=None, hoist: bool = False):
     """One packet's self-terminating traversal loop. A fused all-packets loop
     with pl.when-gated work was tried and measured SLOWER (scalar branches
@@ -277,24 +315,15 @@ def _one_packet(p, c, order_smem, keys_ref,
     loops it is. init: optional resumed loop state (prologue phase).
     hoist: move the prune-count reduction off the serial cond chain (see
     _one_packet_hoisted)."""
-    ox = ox_ref[p, :][:, None]
-    oy = oy_ref[p, :][:, None]
-    oz = oz_ref[p, :][:, None]
-    dx = dx_ref[p, :][:, None]
-    dy = dy_ref[p, :][:, None]
-    dz = dz_ref[p, :][:, None]
-
+    track_uv = uv is not None
+    rays = _ray_planes(p, ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref)
     t0 = tmax_ref[p, :]
     if init is None:
-        init = (
-            jnp.int32(0),
-            t0,
-            jnp.full(t0.shape, -1, jnp.int32),
-        )
+        init = (jnp.int32(0),) + _init_best(t0, track_uv)
     if hoist:
         return _one_packet_hoisted(
             p, c, order_smem, keys_ref, ox_ref, oy_ref, oz_ref, dx_ref,
-            dy_ref, dz_ref, tmax_ref, slab_ref, t_out, tri_out, any_hit,
+            dy_ref, dz_ref, tmax_ref, slab_ref, t_out, tri_out, uv, any_hit,
             slab_rows, init,
         )
 
@@ -311,48 +340,17 @@ def _one_packet(p, c, order_smem, keys_ref,
             return jnp.any(t_best >= tmax_ref[p, :])
         return True
 
-    def test(cid):
-        blk = slab_ref[pl.ds(cid * slab_rows, slab_rows), :]  # (16, K)
-        t, u, v, hit = _mt_block(
-            ox, oy, oz, dx, dy, dz,
-            blk[0:1, :], blk[1:2, :], blk[2:3, :],
-            blk[3:4, :], blk[4:5, :], blk[5:6, :],
-            blk[6:7, :], blk[7:8, :], blk[8:9, :],
-        )
-        return jnp.where(hit, t, T_MAX)
-
     def make_body(g: int):
         # g-wide trip: g INDEPENDENT cluster tests per iteration — the loop is
         # latency-bound (slice -> intersect -> reduce -> cond is a serial
         # chain), so independent work per trip is the lever, not fewer ops
         # (2-wide measured +13% primary / +27% bounce over 1-wide).
         def body(state):
-            i, t_best, tri_best = state
-            cid0 = order_smem[p, i]
-            t = test(cid0)
-            cid_plane = jnp.broadcast_to(cid0, t.shape)
-            for j in range(1, g):
-                cid_j = order_smem[p, jnp.minimum(i + j, c - 1)]
-                t_j = test(cid_j)
-                take = t_j < t
-                cid_plane = jnp.where(take, cid_j, cid_plane)
-                t = jnp.where(take, t_j, t)
-
-            t = jnp.where(t < t_best[:, None], t, T_MAX)
-            # argmin via iota/mask reductions (Mosaic has no general gather
-            # lowering inside kernels); u/v are NOT tracked in-loop — they are
-            # reconstructed outside the kernel from the winning triangle
-            k = t.shape[1]
-            idxs = jax.lax.broadcasted_iota(jnp.int32, t.shape, 1)
-            tmin = jnp.min(t, axis=-1)
-            is_min = t <= tmin[:, None]
-            kmin = jnp.min(jnp.where(is_min, idxs, k), axis=-1)
-            sel = idxs == kmin[:, None]
-            cid_win = jnp.max(jnp.where(sel, cid_plane, 0), axis=-1)
-            closer = tmin < t_best
-            t_best = jnp.where(closer, tmin, t_best)
-            tri_best = jnp.where(closer, cid_win * CLUSTER_SIZE + kmin, tri_best)
-            return i + g, t_best, tri_best
+            i, best = state[0], state[1:]
+            t, cid_plane, u, v = _fold_tests(
+                rays, slab_ref, order_smem, p, i, c, g, slab_rows, track_uv
+            )
+            return (i + g,) + _merge_group(t, cid_plane, best, u, v)
 
         return body
 
@@ -363,24 +361,21 @@ def _one_packet(p, c, order_smem, keys_ref,
     # intersection math; the tail loop pays latency only for the 1-7 clusters
     # that actually remain.
     def cond_main(state):
-        i, t_best, _ = state
+        i, t_best = state[0], state[1]
         return (i + UNROLL <= prune_count(t_best)) & undone(t_best)
 
     def cond_tail(state):
-        i, t_best, _ = state
+        i, t_best = state[0], state[1]
         return (i < prune_count(t_best)) & undone(t_best)
 
     state = jax.lax.while_loop(cond_main, make_body(UNROLL), init)
-    _, t_best, tri_best = jax.lax.while_loop(
-        cond_tail, make_body(TAIL_UNROLL), state
-    )
-    t_out[p, :] = t_best
-    tri_out[p, :] = tri_best
+    state = jax.lax.while_loop(cond_tail, make_body(TAIL_UNROLL), state)
+    _write_best(p, state[1:], t_out, tri_out, uv)
 
 
 def _one_packet_hoisted(p, c, order_smem, keys_ref,
                         ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
-                        tmax_ref, slab_ref, t_out, tri_out, any_hit: bool,
+                        tmax_ref, slab_ref, t_out, tri_out, uv, any_hit: bool,
                         slab_rows: int, init):
     """Variant of _one_packet with the prune-count reduction HOISTED off the
     serial cond chain: the baseline cond evaluates max(t_best) + a c-lane
@@ -391,6 +386,7 @@ def _one_packet_hoisted(p, c, order_smem, keys_ref,
     conservative: sorted keys only ever prune LATER, never earlier, so extra
     tests are wasted-but-valid work, and i grows monotonically so the loop
     terminates."""
+    track_uv = uv is not None
     rays = _ray_planes(p, ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref)
     keys_row = keys_ref[p, :]
 
@@ -401,49 +397,36 @@ def _one_packet_hoisted(p, c, order_smem, keys_ref,
             pc = jnp.where(done, jnp.int32(0), pc)
         return pc
 
-    i0, tb0, tri0 = init
-    init_h = (i0, tb0, tri0, prune_count(tb0))
+    init_h = init + (prune_count(init[1]),)
 
     def make_body(g: int):
         def body(state):
-            i, t_best, tri_best, _ = state
-            pc_next = prune_count(t_best)  # no dep on the test chain below
-            cid0 = order_smem[p, jnp.minimum(i, c - 1)]
-            t = _test_cluster(rays, slab_ref, cid0, slab_rows)
-            cid_plane = jnp.broadcast_to(cid0, t.shape)
-            for j in range(1, g):
-                cid_j = order_smem[p, jnp.minimum(i + j, c - 1)]
-                t_j = _test_cluster(rays, slab_ref, cid_j, slab_rows)
-                take = t_j < t
-                cid_plane = jnp.where(take, cid_j, cid_plane)
-                t = jnp.where(take, t_j, t)
-            t_best, tri_best = _merge_group(t, cid_plane, t_best, tri_best)
-            return i + g, t_best, tri_best, pc_next
+            i, best = state[0], state[1:-1]
+            pc_next = prune_count(best[0])  # no dep on the test chain below
+            t, cid_plane, u, v = _fold_tests(
+                rays, slab_ref, order_smem, p, i, c, g, slab_rows, track_uv
+            )
+            return (i + g,) + _merge_group(t, cid_plane, best, u, v) + (pc_next,)
 
         return body
 
     def cond_main(state):
-        i, _, _, pc = state
-        return i + UNROLL <= pc
+        return state[0] + UNROLL <= state[-1]
 
     def cond_tail(state):
-        i, _, _, pc = state
-        return i < pc
+        return state[0] < state[-1]
 
     state = jax.lax.while_loop(cond_main, make_body(UNROLL), init_h)
-    _, t_best, tri_best, _ = jax.lax.while_loop(
-        cond_tail, make_body(TAIL_UNROLL), state
-    )
-    t_out[p, :] = t_best
-    tri_out[p, :] = tri_best
+    state = jax.lax.while_loop(cond_tail, make_body(TAIL_UNROLL), state)
+    _write_best(p, state[1:-1], t_out, tri_out, uv)
 
 
 def _packet_kernel_stream(order_hbm, keys_ref,
                           ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
                           tmax_ref, slab_hbm,
-                          t_out, tri_out,
+                          t_out, tri_out, u_out, v_out,
                           order_smem, dma_sem, slab_scr, slab_sem,
-                          any_hit: bool):
+                          any_hit: bool, track_uv: bool = True):
     """HBM-streaming variant: the slab table stays in HBM; each packet's
     worklist is walked in UNROLL-cluster groups that are DOUBLE-BUFFERED into
     VMEM scratch with async DMA — the fetch of group i+1 hides behind the
@@ -463,18 +446,22 @@ def _packet_kernel_stream(order_hbm, keys_ref,
     dma.start()
     dma.wait()
 
+    if not track_uv:
+        u_out[...] = jnp.zeros_like(u_out)
+        v_out[...] = jnp.zeros_like(v_out)
+    uv = (u_out, v_out) if track_uv else None
     for p in range(PACKETS_PER_STEP):
         _one_packet_stream(
             p, c, order_smem, keys_ref, ox_ref, oy_ref, oz_ref, dx_ref,
             dy_ref, dz_ref, tmax_ref, slab_hbm, slab_scr, slab_sem,
-            t_out, tri_out, any_hit, SLAB_ROWS,
+            t_out, tri_out, uv, any_hit, SLAB_ROWS,
         )
 
 
 def _one_packet_stream(p, c, order_smem, keys_ref,
                        ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
                        tmax_ref, slab_hbm, slab_scr, slab_sem,
-                       t_out, tri_out, any_hit: bool, slab_rows: int):
+                       t_out, tri_out, uv, any_hit: bool, slab_rows: int):
     """One packet's traversal with double-buffered slab streaming.
 
     DMA invariant: at every `cond` evaluation for group index i, the DMAs for
@@ -482,12 +469,9 @@ def _one_packet_stream(p, c, order_smem, keys_ref,
     group i+G into the other slot before waiting on group i, and the in-flight
     group at loop exit is drained after the while_loop."""
     G = UNROLL
-    ox = ox_ref[p, :][:, None]
-    oy = oy_ref[p, :][:, None]
-    oz = oz_ref[p, :][:, None]
-    dx = dx_ref[p, :][:, None]
-    dy = dy_ref[p, :][:, None]
-    dz = dz_ref[p, :][:, None]
+    track_uv = uv is not None
+    rays = _ray_planes(p, ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref)
+    ox, oy, oz, dx, dy, dz = rays
 
     t0 = tmax_ref[p, :]
     keys_row = keys_ref[p, :]
@@ -509,11 +493,7 @@ def _one_packet_stream(p, c, order_smem, keys_ref,
             group_dma(i, slot, j).wait()
 
     start_group(jnp.int32(0), jnp.int32(0))
-    init = (
-        jnp.int32(0),
-        t0,
-        jnp.full(t0.shape, -1, jnp.int32),
-    )
+    init = (jnp.int32(0),) + _init_best(t0, track_uv)
 
     def prune_count(t_best):
         return jnp.sum((keys_row < jnp.max(t_best)).astype(jnp.int32))
@@ -531,73 +511,57 @@ def _one_packet_stream(p, c, order_smem, keys_ref,
             blk[3:4, :], blk[4:5, :], blk[5:6, :],
             blk[6:7, :], blk[7:8, :], blk[8:9, :],
         )
-        return jnp.where(hit, t, T_MAX)
-
-    def merge(state, t, cid_plane):
-        i, t_best, tri_best = state
-        t = jnp.where(t < t_best[:, None], t, T_MAX)
-        k = t.shape[1]
-        idxs = jax.lax.broadcasted_iota(jnp.int32, t.shape, 1)
-        tmin = jnp.min(t, axis=-1)
-        is_min = t <= tmin[:, None]
-        kmin = jnp.min(jnp.where(is_min, idxs, k), axis=-1)
-        sel = idxs == kmin[:, None]
-        cid_win = jnp.max(jnp.where(sel, cid_plane, 0), axis=-1)
-        closer = tmin < t_best
-        t_best = jnp.where(closer, tmin, t_best)
-        tri_best = jnp.where(closer, cid_win * CLUSTER_SIZE + kmin, tri_best)
-        return t_best, tri_best
+        return jnp.where(hit, t, T_MAX), u, v
 
     def cond_main(state):
-        i, t_best, _ = state
+        i, t_best = state[0], state[1]
         # main loop consumes FULL groups only; the remainder is handled by the
         # tail loop below out of the already-in-flight group's scratch
         return (i + G <= prune_count(t_best)) & undone(t_best)
 
     def body(state):
-        i, t_best, tri_best = state
+        i, best = state[0], state[1:]
         slot = (i // G) % 2
         start_group(i + G, 1 - slot)
         wait_group(i, slot)
         base = slot * G * slab_rows
 
         cid0 = order_smem[p, jnp.minimum(i, c - 1)]
-        t = test(base)
+        t, u, v = test(base)
         cid_plane = jnp.broadcast_to(cid0, t.shape)
         for j in range(1, G):
             cid_j = order_smem[p, jnp.minimum(i + j, c - 1)]
-            t_j = test(base + j * slab_rows)
+            t_j, u_j, v_j = test(base + j * slab_rows)
             take = t_j < t
             cid_plane = jnp.where(take, cid_j, cid_plane)
             t = jnp.where(take, t_j, t)
+            if track_uv:
+                u = jnp.where(take, u_j, u)
+                v = jnp.where(take, v_j, v)
 
-        t_best, tri_best = merge((i, t_best, tri_best), t, cid_plane)
-        return i + G, t_best, tri_best
+        return (i + G,) + _merge_group(t, cid_plane, best, u, v)
 
-    i_end, t_best, tri_best = jax.lax.while_loop(cond_main, body, init)
+    state = jax.lax.while_loop(cond_main, body, init)
+    i_end = state[0]
     # drain the group left in flight (started for i_end, never consumed by the
     # main loop) — its G clusters cover every possible tail index
     slot_end = (i_end // G) % 2
     wait_group(i_end, slot_end)
 
     def cond_tail(state):
-        i, t_best, _ = state
+        i, t_best = state[0], state[1]
         return (i < prune_count(t_best)) & undone(t_best)
 
     def body_tail(state):
-        i, t_best, tri_best = state
+        i, best = state[0], state[1:]
         off = slot_end * G * slab_rows + (i - i_end) * slab_rows
         cid0 = order_smem[p, jnp.minimum(i, c - 1)]
-        t = test(off)
+        t, u, v = test(off)
         cid_plane = jnp.broadcast_to(cid0, t.shape)
-        t_best, tri_best = merge((i, t_best, tri_best), t, cid_plane)
-        return i + 1, t_best, tri_best
+        return (i + 1,) + _merge_group(t, cid_plane, best, u, v)
 
-    _, t_best, tri_best = jax.lax.while_loop(
-        cond_tail, body_tail, (i_end, t_best, tri_best)
-    )
-    t_out[p, :] = t_best
-    tri_out[p, :] = tri_best
+    state = jax.lax.while_loop(cond_tail, body_tail, state)
+    _write_best(p, state[1:], t_out, tri_out, uv)
 
 
 _CID_BITS = 14  # cluster-id payload bits in the packed sort key (<= 16384 clusters)
@@ -761,9 +725,12 @@ def closest_hit_packet(cs: ClusterSet, origin, direction, t_max=T_MAX,
                        block: int = BLOCK_RAYS, interpret: bool = False,
                        sort: bool = False, stream: bool | None = None,
                        interleave: int = 1, prologue: int = 0,
-                       hoist: bool = False):
+                       hoist: bool = False, need_uv: bool = True,
+                       any_hit: bool = False):
     """Packet-traversal closest hit: origin/direction (R, 3), R % block == 0
-    after padding (handled here). Returns dict(t, u, v, tri).
+    after padding (handled here). Returns dict(t, u, v, tri); u/v of the
+    winning triangle are tracked inside the kernel (the XLA gather that used
+    to reconstruct them outside measured 6.4 ms per 262k-ray launch).
 
     sort=True re-bins rays by (direction octant, origin morton) before
     packetization and scatters results back — use for divergent bounce/shadow
@@ -772,8 +739,13 @@ def closest_hit_packet(cs: ClusterSet, origin, direction, t_max=T_MAX,
     stream selects the HBM-streaming double-buffered kernel (None = auto: used
     when the slab table exceeds the VMEM-resident budget).
 
-    interleave/prologue select experimental loop structures of the resident
-    kernel (see _packet_kernel)."""
+    need_uv=False (occlusion queries) skips the in-loop u/v tracking; the
+    returned u/v are zeros.
+
+    interleave/prologue/hoist select loop structures of the RESIDENT kernel
+    only — the HBM-streaming kernel (stream=True, or auto-selected when the
+    slab table exceeds PACKET_VMEM_LIMIT) ignores them: its loop is DMA-bound,
+    so the hoisted prune-count and prologue levers don't apply there."""
     if stream is None:
         from nrdsample_tpu.ops.traversal import PACKET_VMEM_LIMIT
 
@@ -793,6 +765,7 @@ def closest_hit_packet(cs: ClusterSet, origin, direction, t_max=T_MAX,
             cs, packed[:, 0:3], packed[:, 3:6], packed[:, 6],
             block, interpret, sort=False, stream=stream,
             interleave=interleave, prologue=prologue, hoist=hoist,
+            need_uv=need_uv, any_hit=any_hit,
         )
         inv = jnp.argsort(perm)
         out_f = jnp.stack([res["t"], res["u"], res["v"]], axis=1)[inv]
@@ -850,12 +823,15 @@ def closest_hit_packet(cs: ClusterSet, origin, direction, t_max=T_MAX,
     out_shape = [
         jax.ShapeDtypeStruct((nb, block), jnp.float32),
         jax.ShapeDtypeStruct((nb, block), jnp.int32),
+        jax.ShapeDtypeStruct((nb, block), jnp.float32),
+        jax.ShapeDtypeStruct((nb, block), jnp.float32),
     ]
     if stream:
         from nrdsample_tpu.ops.cluster import SLAB_ROWS
 
-        kernel = functools.partial(_packet_kernel_stream, any_hit=False)
-        t, tri = pl.pallas_call(
+        kernel = functools.partial(_packet_kernel_stream, any_hit=any_hit,
+                                   track_uv=need_uv)
+        t, tri, u, v = pl.pallas_call(
             kernel,
             grid=(nb // pps,),
             in_specs=[
@@ -864,7 +840,7 @@ def closest_hit_packet(cs: ClusterSet, origin, direction, t_max=T_MAX,
                 *([row_spec] * 7),   # ox..dz, tmax
                 pl.BlockSpec(memory_space=pltpu.ANY),   # slab stays in HBM
             ],
-            out_specs=[row_spec] * 2,
+            out_specs=[row_spec] * 4,
             out_shape=out_shape,
             scratch_shapes=[
                 pltpu.SMEM((pps, c), jnp.int32),
@@ -876,10 +852,10 @@ def closest_hit_packet(cs: ClusterSet, origin, direction, t_max=T_MAX,
         )(order, keys_sorted, *o_c, *d_c, tmb, cs.slab)
     else:
         kernel = functools.partial(
-            _packet_kernel, any_hit=False,
+            _packet_kernel, any_hit=any_hit, track_uv=need_uv,
             interleave=interleave, prologue=prologue, hoist=hoist,
         )
-        t, tri = pl.pallas_call(
+        t, tri, u, v = pl.pallas_call(
             kernel,
             grid=(nb // pps,),
             in_specs=[
@@ -888,7 +864,7 @@ def closest_hit_packet(cs: ClusterSet, origin, direction, t_max=T_MAX,
                 *([row_spec] * 7),   # ox..dz, tmax
                 slab_spec,
             ],
-            out_specs=[row_spec] * 2,
+            out_specs=[row_spec] * 4,
             out_shape=out_shape,
             scratch_shapes=[
                 pltpu.SMEM((pps, c), jnp.int32),
@@ -897,38 +873,23 @@ def closest_hit_packet(cs: ClusterSet, origin, direction, t_max=T_MAX,
             interpret=interpret,
         )(order, keys_sorted, *o_c, *d_c, tmb, cs.slab)
 
-    t = t.reshape(-1)[:r]
-    tri = tri.reshape(-1)[:r]
-    # reconstruct u/v (and refine t) with one MT test against the winning
-    # triangle per ray — an XLA gather of 9 floats/ray, far cheaper than
-    # carrying u/v through every kernel iteration
-    from nrdsample_tpu.ops import intersect as isect
-
-    valid = tri >= 0
-    safe = jnp.maximum(tri, 0)
-    p0 = cs.p0_b.reshape(-1, 3)[safe]
-    e1 = cs.e1_b.reshape(-1, 3)[safe]
-    e2 = cs.e2_b.reshape(-1, 3)[safe]
-    o_r = origin[:r] if pad else origin
-    d_r = direction[:r] if pad else direction
-    t2, u2, v2, hit2 = isect._mt_intersect(o_r, d_r, p0, e1, e2)
-    res = {
-        "t": jnp.where(valid, jnp.where(hit2, t2, t), T_MAX),
-        "u": jnp.where(valid, u2, 0.0),
-        "v": jnp.where(valid, v2, 0.0),
-        "tri": tri,
+    return {
+        "t": t.reshape(-1)[:r],
+        "u": u.reshape(-1)[:r],
+        "v": v.reshape(-1)[:r],
+        "tri": tri.reshape(-1)[:r],
     }
-    return res
 
 
 def any_hit_packet(cs: ClusterSet, origin, direction, t_max,
                    block: int = BLOCK_RAYS, interpret: bool = False,
                    sort: bool = False, stream: bool | None = None,
                    hoist: bool = False):
-    """Occlusion query via the same kernel (closest-hit then compare)."""
+    """Occlusion query via the same kernel (closest-hit then compare; the
+    any_hit early-exit engages in-kernel and u/v tracking is skipped)."""
     res = closest_hit_packet(
         cs, origin, direction, t_max, block, interpret, sort, stream,
-        hoist=hoist,
+        hoist=hoist, need_uv=False, any_hit=True,
     )
     t_max = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), origin.shape[:1])
     return (res["tri"] >= 0) & (res["t"] < t_max)

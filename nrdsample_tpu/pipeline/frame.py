@@ -289,7 +289,7 @@ def image_frame_begin(cfg: RenderConfig, settings: Settings, cam: Camera,
         from nrdsample_tpu.denoise import confidence as conf_mod
 
         grad, new_conf_h = conf_mod.gradient_from_probes(
-            history.confidence, probes["radiance"]
+            history.confidence, probes
         )
         grad = conf_mod.atrous_blur(grad, probes["view_z"], probes["normal"])
         conf_lo = conf_mod.gradient_to_confidence(

@@ -26,17 +26,23 @@ from nrdsample_tpu.scene import camera as cam_mod
 from nrdsample_tpu.scene.types import Camera, Scene
 
 
-def sharc_update_pass(ctx: traversal.TraceContext, scene: Scene, cam: Camera,
-                      cfg: RenderConfig, settings: Settings, frame,
-                      state: sharc.SharcState) -> sharc.SharcState:
-    """Trace the low-res update paths and scatter radiance into the cache."""
+def _trace_probe_paths(ctx: traversal.TraceContext, scene: Scene, cam: Camera,
+                       cfg: RenderConfig, settings: Settings, frame):
+    """Trace the 1/ds-res probe paths for frame index `frame` with THAT
+    frame's RNG streams and camera matrices. Pure function of (scene, cam,
+    settings, frame) — re-invoking it with a PREVIOUS frame index replays the
+    previous frame's exact paths under CURRENT lighting, which is the
+    reference's gradient mechanism (SharcUpdate.cs.hlsl:222-250: Trace(PREV)
+    with the prev-frame RNG seed).
+
+    Returns (first_l, probe_vz, probe_n, (xs, ns, ls, ms) flattened updates).
+    """
     ds = cfg.sharc_downscale
     sw, sh = max(cfg.width // ds, 1), max(cfg.height // ds, 1)
     n_px = sw * sh
     sun_dir = cfgmod.sun_direction(settings)
     tan_sun = jnp.tan(jnp.deg2rad(settings.sun_angular_diameter * 0.5))
     unproject = cam_mod.unproject_scale(cam, cfg.height)
-    cam_pos = cam.position
 
     # map the low-res grid onto full-res pixels, rotating the sub-pixel offset
     # per frame so the cache sees all positions over time (SharcUpdate's
@@ -129,20 +135,51 @@ def sharc_update_pass(ctx: traversal.TraceContext, scene: Scene, cam: Camera,
     ns = rev_flat(verts["n"])
     ls = rev_flat(l_heres)
     ms = rev_flat(verts["alive"])
+    first_l = l_heres[0]  # suffix radiance at the FIRST path vertex
+    return (first_l.reshape(sh, sw, 3), probe_vz.reshape(sh, sw),
+            probe_n.reshape(sh, sw, 3), (xs, ns, ls, ms))
+
+
+def sharc_update_pass(ctx: traversal.TraceContext, scene: Scene, cam: Camera,
+                      cfg: RenderConfig, settings: Settings, frame,
+                      state: sharc.SharcState) -> sharc.SharcState:
+    """Trace the low-res update paths and scatter radiance into the cache.
+
+    With cfg.use_confidence, ALSO re-traces the PREVIOUS frame's probe paths
+    (prev camera matrices + prev-frame RNG streams) under current lighting —
+    probes["prev_retrace_lum"/"prev_retrace_vz"] feed the history-confidence
+    gradient |L_prev_retraced - L_prev_stored| (SharcUpdate.cs.hlsl:222-250),
+    which isolates lighting change from sampling noise (the same path is
+    replayed, so the Monte-Carlo noise cancels exactly on static scenes)."""
+    import dataclasses as dc
+
+    first_l, probe_vz, probe_n, (xs, ns, ls, ms) = _trace_probe_paths(
+        ctx, scene, cam, cfg, settings, frame
+    )
     # LOD transition dithering on the WRITE side too, so both rings near a
     # level boundary stay populated for the dithered queries
     lod_dither = rng.uniform1(jnp.arange(xs.shape[0], dtype=jnp.int32), frame, 800_077)
-    state = sharc.update(state, xs, ns, ls, cam_pos, frame, mask=ms,
+    state = sharc.update(state, xs, ns, ls, cam.position, frame, mask=ms,
                          dither=lod_dither)
 
     # probe "small G-buffer" for the history-confidence gradient
     # (SharcUpdate.cs.hlsl:104-107 luminance+normal+viewZ store; the gradient
     # consumer is denoise/confidence.py): first-vertex suffix radiance +
     # primary viewZ/normal at probe resolution
-    first_l = l_heres[0]  # suffix radiance at the FIRST path vertex
     probes = {
-        "radiance": first_l.reshape(sh, sw, 3),
-        "view_z": probe_vz.reshape(sh, sw),
-        "normal": probe_n.reshape(sh, sw, 3),
+        "radiance": first_l,
+        "view_z": probe_vz,
+        "normal": probe_n,
     }
+    if cfg.use_confidence:
+        prev_cam = dc.replace(
+            cam, view_to_world=cam.view_to_world_prev, jitter=cam.jitter_prev
+        )
+        prev_l, prev_vz, _, _ = _trace_probe_paths(
+            ctx, scene, prev_cam, cfg, settings, frame - 1
+        )
+        from nrdsample_tpu.mathlib import color
+
+        probes["prev_retrace_lum"] = color.luminance(prev_l)
+        probes["prev_retrace_vz"] = prev_vz
     return sharc.resolve(state, frame), probes

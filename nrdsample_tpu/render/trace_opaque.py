@@ -501,15 +501,36 @@ def psr_walk(ctx, scene, cfg, settings, frame, pixel_idx, props, view_z, cam,
     describes the *virtual* surface seen in the mirror, which denoisers track
     far better than the mirror itself.
 
-    Returns (props', l_psr, psr_throughput, accumulated virtual hit distance).
+    Returns (props', l_psr, psr_throughput, virt_dist, mirror_matrix):
+    virt_dist is the curvature-corrected accumulated virtual hit distance
+    (ApplyThinLensEquation per bounce, TraceOpaque.cs.hlsl:598-601) used by the
+    caller to place the virtual surface Xvirtual = X0 - V0 * virt_dist for
+    viewZ/MV; mirror_matrix (N, 3, 3) is the accumulated householder product
+    whose inverse (= transpose) unfolds the virtual surface normal into
+    camera space (TraceOpaque.cs.hlsl:636-638).
     """
     n_px = pixel_idx.shape[0]
     f32 = cfg.dtype
     l_psr = jnp.zeros((n_px, 3), f32)
     throughput = jnp.ones((n_px, 3), f32)
     virt_dist = jnp.zeros((n_px,), f32)
+    acc_curv = jnp.zeros((n_px,), f32)
+    mirror_mat = jnp.broadcast_to(jnp.eye(3, dtype=f32), (n_px, 3, 3))
     for k in range(cfg.psr_bounce_num):
         delta = is_delta(props)
+        # accumulate curvature at the origin point ("yes, before hit")
+        acc_curv = jnp.where(delta, acc_curv + props["curvature"], acc_curv)
+        # accumulate the mirror (householder) matrix: M = (I - 2 n n^T) @ M
+        n_s = props["n"]
+        house = (
+            jnp.broadcast_to(jnp.eye(3, dtype=f32), (n_px, 3, 3))
+            - 2.0 * n_s[:, :, None] * n_s[:, None, :]
+        )
+        mirror_mat = jnp.where(
+            delta[:, None, None],
+            jnp.einsum("nij,njk->nik", house, mirror_mat),
+            mirror_mat,
+        )
         # mirror reflection with Fresnel throughput
         _, f0 = brdf.base_color_to_f0_albedo(props["base_color"], props["metalness"])
         cos_i = jnp.abs(geo.dot3(props["v"], props["n"]))
@@ -539,8 +560,11 @@ def psr_walk(ctx, scene, cfg, settings, frame, pixel_idx, props, view_z, cam,
         }
         throughput = jnp.where(sel, new_throughput, throughput)
         l_psr = jnp.where(sel, l_new, l_psr)
-        virt_dist = jnp.where(delta, virt_dist + new_props["t"], virt_dist)
-    return props, l_psr, throughput, virt_dist
+        # thin-lens correction: curved mirrors move the virtual image off the
+        # unfolded distance (ApplyThinLensEquation, Shared.hlsli:313)
+        thin = new_props["t"] / (2.0 * acc_curv * new_props["t"] + 1.0)
+        virt_dist = jnp.where(delta, virt_dist + thin, virt_dist)
+    return props, l_psr, throughput, virt_dist, mirror_mat
 
 
 def trace_opaque(ctx: traversal.TraceContext, scene: Scene, cam: Camera,
@@ -593,17 +617,32 @@ def trace_opaque(ctx: traversal.TraceContext, scene: Scene, cam: Camera,
     # ---- PSR mirror walk (TraceOpaque.cs.hlsl:569-603) ----
     l_psr = jnp.zeros((n_px, 3), cfg.dtype)
     psr_throughput = jnp.ones((n_px, 3), cfg.dtype)
+    x0, v0 = props["x"], props["v"]      # primary surface, pre-walk
+    primary_t0 = props["t"]              # glass recast limit stays pre-PSR
+    gb_normal = props["n"]
+    x_for_gbuf = props["x"]
     if cfg.psr_bounce_num > 0:
         vz0 = cam_mod.world_to_view_z(cam, props["x"])
-        props, l_psr, psr_throughput, _virt = psr_walk(
+        props, l_psr, psr_throughput, virt_dist, mirror_mat = psr_walk(
             ctx, scene, cfg, settings, frame, pixel_idx, props, vz0, cam,
             sun_dir, tan_sun, unproject,
         )
+        # place the VIRTUAL surface for viewZ/MV (TraceOpaque.cs.hlsl:608-628):
+        # Xvirtual = X0 - V0 * accumulated virtual distance — mirror pixels
+        # then reproject by the unfolded image, not the mirror surface
+        x_for_gbuf = x0 - v0 * virt_dist[..., None]
+        # unfold the virtual surface normal into camera space via the inverse
+        # (= transpose) mirror matrix (TraceOpaque.cs.hlsl:636-638)
+        gb_normal = jnp.einsum("nji,nj->ni", mirror_mat, props["n"])
 
-    view_z = jnp.where(props["miss"], cfgmod.INF, cam_mod.world_to_view_z(cam, props["x"]))
+    view_z = jnp.where(
+        props["miss"], cfgmod.INF, cam_mod.world_to_view_z(cam, x_for_gbuf)
+    )
 
     # motion vectors (TraceOpaque.cs.hlsl:610-614): Xprev from the hit
-    # instance's worldToWorldPrev when dynamics are provided, else Xprev = X
+    # instance's worldToWorldPrev when dynamics are provided, else Xprev = X;
+    # for PSR pixels the motion is evaluated at the virtual point
+    # (XvirtualPrev = Xvirtual + Xprev - X, TraceOpaque.cs.hlsl:609-611)
     if dynamics is not None:
         from nrdsample_tpu.scene import instances as inst_mod
 
@@ -611,7 +650,8 @@ def trace_opaque(ctx: traversal.TraceContext, scene: Scene, cam: Camera,
         x_prev = inst_mod.prev_position(inst, m_curr, m_prev, props["x"], props["tri"])
     else:
         x_prev = props["x"]
-    mv = cam_mod.get_motion(cam, props["x"], x_prev, cfg.width, cfg.height)
+    x_prev_virt = x_for_gbuf + (x_prev - props["x"])
+    mv = cam_mod.get_motion(cam, x_for_gbuf, x_prev_virt, cfg.width, cfg.height)
 
     # direct lighting at the primary hit: sun (unshadowed; SIGMA provides the
     # shadow at composition) + emission (TraceOpaque.cs.hlsl:663-706)
@@ -651,7 +691,7 @@ def trace_opaque(ctx: traversal.TraceContext, scene: Scene, cam: Camera,
     return {
         "view_z": view_z,
         "mv": mv,
-        "normal": props["n"],
+        "normal": gb_normal,
         "roughness": props["roughness"],
         "metalness": props["metalness"],
         "base_color": props["base_color"],
@@ -666,8 +706,8 @@ def trace_opaque(ctx: traversal.TraceContext, scene: Scene, cam: Camera,
         # translucency march can reuse it (TraceOpaque.cs.hlsl:767-804)
         "shadow_ray": (p_sxo, p_sdir),
         "miss": props["miss"],
-        "primary_x": props["x"],
-        "primary_t": props["t"],
+        "primary_x": x_for_gbuf,
+        "primary_t": primary_t0,
         "uv": uv,
         "tri": props["tri"],
         "flags": props["flags"],

@@ -400,6 +400,29 @@ def interior_night(n_lights: int = 12, grid: int = 4, sphere_res: int = 16,
     return _assemble(parts, mats, max_emissive=max(64, 4 * n_lights))
 
 
+def mirror_room(box_emission: float = 0.0) -> Scene:
+    """A planar mirror floor (delta material: metalness 1, roughness 0.01 —
+    IsDelta, RaytracingShared.hlsli:973-978) under a floating diffuse box —
+    the PSR mirror-walk test scene (TraceOpaque.cs.hlsl:569-603): pixels that
+    hit the mirror must export the VIRTUAL surface (unfolded behind the
+    mirror) in viewZ/MV/normal."""
+    materials = {
+        "base_color": [[0.95, 0.95, 0.95], [0.6, 0.2, 0.2], [0.7, 0.7, 0.7]],
+        "metalness": [1.0, 0.0, 0.0],
+        "roughness": [0.01, 0.9, 0.9],
+        "emission": [[0, 0, 0], [box_emission] * 3, [0, 0, 0]],
+    }
+    floor_v, floor_i = make_plane([0.0, 0.0, 0.0], [8.0, 8.0])
+    box_v, box_i = make_box([0.0, 0.0, 1.0], [1.0, 1.0, 0.6])
+    wall = _quad([-4, 4, 0], [4, 4, 0], [4, 4, 4], [-4, 4, 4])
+    parts = [
+        (floor_v, floor_i, None, 0),   # mirror
+        (box_v, box_i, None, 1),       # floating box
+        (wall[0], wall[1], None, 2),   # diffuse back wall
+    ]
+    return _assemble(parts, materials, max_emissive=8)
+
+
 def random_soup(num_tris: int = 100_000, extent: float = 50.0, seed: int = 0) -> Scene:
     """Bistro-class triangle-count perf scene: incoherent small triangles.
 

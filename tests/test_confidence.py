@@ -18,11 +18,54 @@ RES = 40  # divisible by sharc_downscale=5
 
 def test_gradient_from_probes():
     h = conf_mod.ConfidenceHistory.create(4, 4)
-    rad = jnp.ones((4, 4, 3)) * 0.5
-    grad, h2 = conf_mod.gradient_from_probes(h, rad)
+    probes = {"radiance": jnp.ones((4, 4, 3)) * 0.5, "view_z": jnp.ones((4, 4))}
+    grad, h2 = conf_mod.gradient_from_probes(h, probes)
     assert float(grad.max()) > 0.0  # first frame: everything changed
-    grad2, _ = conf_mod.gradient_from_probes(h2, rad)
+    grad2, _ = conf_mod.gradient_from_probes(h2, probes)
     np.testing.assert_allclose(np.asarray(grad2), 0.0, atol=1e-6)
+
+
+def test_prev_retrace_isolates_lighting_change():
+    """SharcUpdate.cs.hlsl:222-250 parity: on a STATIC scene the prev-frame
+    retrace replays the exact paths, so the gradient is ~0 even though the
+    re-jittered probe field differs frame-to-frame (sampling noise); a sun
+    move then produces a real gradient."""
+    import dataclasses
+
+    from nrdsample_tpu.render import sharc_update
+    from nrdsample_tpu.ops import sharc as sharc_mod
+    from nrdsample_tpu.mathlib import color
+
+    ctx, scene, cam, cfg, settings = _frame_setup()
+    settings = dataclasses.replace(settings, disable_shadows=jnp.int32(0),
+                                   sun_elevation=jnp.float32(45.0))
+    state = sharc_mod.SharcState.create(cfg.sharc_capacity, cfg.dtype)
+
+    _, probes0 = sharc_update.sharc_update_pass(
+        ctx, scene, cam, cfg, settings, jnp.int32(0), state
+    )
+    hist = conf_mod.ConfidenceHistory(
+        probe_lum=color.luminance(probes0["radiance"]),
+        view_z=probes0["view_z"],
+    )
+    _, probes1 = sharc_update.sharc_update_pass(
+        ctx, scene, cam, cfg, settings, jnp.int32(1), state
+    )
+    grad_static, _ = conf_mod.gradient_from_probes(hist, probes1)
+    # the naive re-jittered diff IS noisy on this scene...
+    naive = np.abs(np.asarray(color.luminance(probes1["radiance"]))
+                   - np.asarray(hist.probe_lum))
+    assert naive.max() > 0.05, "scene too clean to demonstrate the mechanism"
+    # ...but the retrace gradient cancels the sampling noise exactly
+    assert float(jnp.abs(grad_static).max()) < 1e-4
+
+    # now MOVE THE SUN between frame 0 and frame 1: gradient must fire
+    moved = dataclasses.replace(settings, sun_elevation=jnp.float32(25.0))
+    _, probes1m = sharc_update.sharc_update_pass(
+        ctx, scene, cam, cfg, moved, jnp.int32(1), state
+    )
+    grad_moved, _ = conf_mod.gradient_from_probes(hist, probes1m)
+    assert float(jnp.abs(grad_moved).max()) > 0.02
 
 
 def test_confidence_map_range_and_monotonicity():

@@ -70,12 +70,17 @@ def test_packet_loop_variants_match_dense(variant):
     np.testing.assert_allclose(t[hit], t_ref[hit], rtol=1e-4, atol=1e-4)
 
 
-@pytest.mark.parametrize("stream", [False, True])
-def test_any_hit_matches_dense(stream):
+@pytest.mark.parametrize("stream,hoist", [(False, False), (True, False),
+                                          (False, True)])
+def test_any_hit_matches_dense(stream, hoist):
+    # hoist=True + stream=False is the PRODUCTION shadow-ray configuration
+    # (traversal.any_hit); the any-hit early exit forces pc to 0 one trip
+    # late with the hoisted prune-count, which must stay conservative
     cs, tris_p, origin, direction = _scene_and_rays(seed=1)
     t_max = jnp.full((origin.shape[0],), 8.0)
     blocked = packet.any_hit_packet(
-        cs, origin, direction, t_max, interpret=True, stream=stream
+        cs, origin, direction, t_max, interpret=True, stream=stream,
+        hoist=hoist,
     )
     ref = intersect.intersect_dense(
         origin, direction, tris_p.p0, tris_p.e1, tris_p.e2
