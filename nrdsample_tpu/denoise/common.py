@@ -81,7 +81,9 @@ def reproject(prev: jnp.ndarray, mv_xy: jnp.ndarray, bicubic: bool = False) -> j
     pos = pixel_positions(prev.shape[0], prev.shape[1]) + mv_xy
     if bicubic:
         return filtering.sample_bicubic_no_corners(prev, pos)
-    return filtering.sample_bilinear(prev, pos)
+    from nrdsample_tpu.ops import reproject as repr_mod
+
+    return repr_mod.sample_bilinear_auto(prev, pos)
 
 
 def anti_firefly(img: jnp.ndarray) -> jnp.ndarray:

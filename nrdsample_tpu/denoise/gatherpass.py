@@ -56,5 +56,7 @@ def execute_inline(requests: dict, modes: dict) -> dict:
         if modes[name] == BICUBIC:
             out[name] = filtering.sample_bicubic_no_corners(plane, pos)
         else:
-            out[name] = filtering.sample_bilinear(plane, pos)
+            from nrdsample_tpu.ops import reproject as repr_mod
+
+            out[name] = repr_mod.sample_bilinear_auto(plane, pos)
     return out

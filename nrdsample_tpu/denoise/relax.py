@@ -83,9 +83,9 @@ def temporal_accumulate(hist: RelaxHistory, illum, view_z, normal, mv,
     mv_xy = mv[..., :2]
     if pre is None:
         plane, pos = taccum_requests(hist, mv_xy)
-        from nrdsample_tpu.mathlib import filtering
+        from nrdsample_tpu.ops import reproject as repr_mod
 
-        pre = filtering.sample_bilinear(plane, pos)
+        pre = repr_mod.sample_bilinear_auto(plane, pos)
     prev_illum, prev_moments = pre[..., 0:3], pre[..., 3:5]
     prev_z, prev_n, prev_frames = pre[..., 5], pre[..., 6:9], pre[..., 9]
 
