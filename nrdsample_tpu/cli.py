@@ -95,6 +95,9 @@ def cmd_render(args) -> int:
         disable_shadows=jnp.int32(1 if args.no_shadows else 0),
         separator=jnp.float32(args.separator),
         exposure=jnp.float32(args.exposure * 100.0),
+        forced_material=jnp.int32(
+            {"none": 0, "gypsum": 1, "cobalt": 2}[args.forced_material]
+        ),
     )
     print(
         f"scene={args.scene} tris={scene.num_tris} "
@@ -200,7 +203,7 @@ def cmd_animate(args) -> int:
     def make_frame_fn(bucket_cfg):
         # one cached jit specialization per DRS bucket (pipeline/drs.py)
         @partial(jax.jit, donate_argnums=(2,))
-        def frame_fn(t, t_prev, history):
+        def frame_fn(t, t_prev, history, settings):
             # animate -> transform -> refit -> render, one jitted program;
             # prev transforms feed the worldToWorldPrev motion-vector path
             def transforms(tt):
@@ -225,13 +228,25 @@ def cmd_animate(args) -> int:
     hist = frame_mod.History.create(cur_cfg)
     import time as _time
 
+    from nrdsample_tpu.pipeline import adaptive
+
+    timer = adaptive.FrameTimer()
     t0 = _time.perf_counter()
     out = None
+    prev_settings = None
     for f in range(args.frames):
         t = f / 24.0
         tf0 = _time.perf_counter()
+        # adaptive accumulation (NRDSample.cpp:2139-2189): the cap is a traced
+        # Settings scalar, so updating it does NOT retrace the frame
+        settings = adaptive.update(settings, prev_settings, timer.smoothed_ms)
+        prev_settings = settings
         out, hist = make_frame_fn(cur_cfg)(
-            jnp.float32(t), jnp.float32(max(t - 1 / 24.0, 0.0)), hist)
+            jnp.float32(t), jnp.float32(max(t - 1 / 24.0, 0.0)), hist, settings)
+        if f > 0:
+            if ctrl is None:
+                jax.block_until_ready(out["final"])
+            timer.update((_time.perf_counter() - tf0) * 1e3)
         if ctrl is not None:
             jax.block_until_ready(out["display"])
             scale = ctrl.update((_time.perf_counter() - tf0) * 1e3)
@@ -350,6 +365,9 @@ def main(argv=None) -> int:
     r.add_argument("--sun-azimuth", type=float, default=-147.0)
     r.add_argument("--sun-elevation", type=float, default=45.0)
     r.add_argument("--no-shadows", action="store_true")
+    r.add_argument("--forced-material", default="none",
+                   choices=["none", "gypsum", "cobalt"],
+                   help="debug material override (RaytracingShared.hlsli:497-515)")
     r.add_argument("--cpu", action="store_true", help="force CPU backend")
     r.add_argument("--nrd-mode", default="normal",
                    choices=["normal", "sh", "occlusion", "directional-occlusion"])

@@ -209,6 +209,10 @@ class Settings:
     exposure: jnp.ndarray = dataclasses.field(default_factory=lambda: jnp.float32(80.0))
     roughness_override: jnp.ndarray = dataclasses.field(default_factory=lambda: jnp.float32(0.0))
     metalness_override: jnp.ndarray = dataclasses.field(default_factory=lambda: jnp.float32(0.0))
+    # ForcedMaterial debug override (Shared.hlsli:89-91); applied at every hit
+    # decode like the reference's GetMaterialProps forced-material branch
+    # (RaytracingShared.hlsli:497-515)
+    forced_material: jnp.ndarray = dataclasses.field(default_factory=lambda: jnp.int32(0))
     emission_intensity: jnp.ndarray = dataclasses.field(default_factory=lambda: jnp.float32(1.0))
     debug: jnp.ndarray = dataclasses.field(default_factory=lambda: jnp.float32(0.0))
     separator: jnp.ndarray = dataclasses.field(default_factory=lambda: jnp.float32(0.0))

@@ -248,6 +248,14 @@ def collect_gather_requests(cfg: RenderConfig, settings: Settings, cam: Camera,
     return reqs
 
 
+def _max_acc(settings: Settings):
+    """Accumulation-frame cap from Settings (adaptive accumulation plumbs the
+    fps-derived value here each frame, NRDSample.cpp:2161-2189; fast history
+    = max/5 per :2172). Floored at 1: a full reset goes through the explicit
+    reset_history path, not a zero cap."""
+    return jnp.maximum(settings.max_accumulated_frame_num, 1).astype(jnp.float32)
+
+
 def image_frame_begin(cfg: RenderConfig, settings: Settings, cam: Camera,
                       history: History, gb: dict, aux: dict,
                       reset_history=False, gathered: dict | None = None):
@@ -390,7 +398,7 @@ def image_frame_begin(cfg: RenderConfig, settings: Settings, cam: Camera,
     reqs2: dict = {}
     reblur_mid: dict = {}
     if cfg.denoiser == Denoiser.RELAX:
-        s = relax.RelaxSettings(max_accumulated_frames=30)
+        s = relax.RelaxSettings(max_accumulated_frames=_max_acc(settings))
         d_img, new_rd = relax.denoise(
             history.relax_diff, img(diff), img(gb["view_z"]), img(gb["normal"]),
             img(gb["mv"]), s, reset=reset_history, confidence=conf_arg,
@@ -404,7 +412,10 @@ def image_frame_begin(cfg: RenderConfig, settings: Settings, cam: Camera,
         diff, spec = flat(d_img), flat(sp_img)
         new_h["relax_diff"], new_h["relax_spec"] = new_rd, new_rs
     elif cfg.denoiser == Denoiser.REBLUR:
-        s = reblur.ReblurSettings(max_accumulated_frames=30)
+        s = reblur.ReblurSettings(
+            max_accumulated_frames=_max_acc(settings),
+            max_fast_accumulated_frames=jnp.maximum(_max_acc(settings) / 5.0, 1.0),
+        )
         unproj = cam_mod.unproject_scale(cam, cfg.height)
         for sig, hist_sig, radiance, hitdist_key, mv_sig, is_spec in (
             ("reblur_diff", history.reblur_diff, diff, "diff_hitdist",
@@ -476,7 +487,10 @@ def image_frame_finish(cfg: RenderConfig, settings: Settings, cam: Camera,
     occl_mode = cfg.nrd_mode in (NrdMode.OCCLUSION, NrdMode.DIRECTIONAL_OCCLUSION)
 
     if cfg.denoiser == Denoiser.REBLUR:
-        s = reblur.ReblurSettings(max_accumulated_frames=30)
+        s = reblur.ReblurSettings(
+            max_accumulated_frames=_max_acc(settings),
+            max_fast_accumulated_frames=jnp.maximum(_max_acc(settings) / 5.0, 1.0),
+        )
         outs = {}
         for sig in ("reblur_diff", "reblur_spec"):
             acc, fast, hd, frames_sig = mid["reblur"][sig]

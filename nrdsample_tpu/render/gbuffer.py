@@ -22,7 +22,7 @@ T_MAX = traversal.T_MAX
 
 def decode_hit(scene: Scene, hit: dict, origin: jnp.ndarray, direction: jnp.ndarray,
                sun_dir: jnp.ndarray, tan_sun_radius, white_furnace: bool = False,
-               emission_scale=1.0, cone_width=None):
+               emission_scale=1.0, cone_width=None, forced_material=None):
     """Build geometry+material props from a traversal result.
 
     Returns a dict with:
@@ -114,6 +114,31 @@ def decode_hit(scene: Scene, hit: dict, origin: jnp.ndarray, direction: jnp.ndar
     if white_furnace:
         base_color = jnp.ones_like(base_color)
         emission = jnp.zeros_like(emission)
+
+    if forced_material is not None:
+        # GetMaterialProps forced-material branch
+        # (RaytracingShared.hlsli:497-515): GYPSUM = flat white diffuse,
+        # COBALT = metal whose roughness encodes the original base color.
+        # The reference early-outs on miss, so force only hit lanes.
+        from nrdsample_tpu import config as cfgmod
+
+        fm = jnp.asarray(forced_material, jnp.int32)
+        gypsum = jnp.logical_and(fm == cfgmod.ForcedMaterial.GYPSUM, ~miss)
+        cobalt = jnp.logical_and(fm == cfgmod.ForcedMaterial.COBALT, ~miss)
+        cobalt_rough = jnp.cbrt(
+            jnp.clip(base_color[..., 0] * base_color[..., 1] * base_color[..., 2],
+                     0.0, 1.0)
+        )
+        roughness = jnp.where(gypsum, 1.0, jnp.where(cobalt, cobalt_rough, roughness))
+        metalness = jnp.where(gypsum, 0.0, jnp.where(cobalt, 1.0, metalness))
+        base_color = jnp.where(
+            gypsum[..., None], 0.5,
+            jnp.where(
+                cobalt[..., None],
+                jnp.asarray([0.672411, 0.637331, 0.585456], base_color.dtype),
+                base_color,
+            ),
+        )
 
     sky = lighting.sky_intensity(direction, sun_dir, tan_sun_radius, white_furnace)
     lemi = jnp.where(miss[..., None], sky, emission)

@@ -65,6 +65,7 @@ def _trace_probe_paths(ctx: traversal.TraceContext, scene: Scene, cam: Camera,
     props = gbuffer.decode_hit(
         scene, hit, origin, direction, sun_dir, tan_sun, cfg.use_white_furnace,
         settings.emission_intensity,
+        forced_material=settings.forced_material,
     )
 
     alive = jnp.logical_not(props["miss"])
@@ -106,6 +107,7 @@ def _trace_probe_paths(ctx: traversal.TraceContext, scene: Scene, cam: Camera,
         props = gbuffer.decode_hit(
             scene, hit, xo, ray, sun_dir, tan_sun, cfg.use_white_furnace,
             settings.emission_intensity,
+            forced_material=settings.forced_material,
         )
         alive = alive & jnp.logical_not(props["miss"])
         return (props, alive), vert

@@ -285,7 +285,8 @@ def trace_paths(ctx: traversal.TraceContext, scene: Scene, cam: Camera,
             cone = raycone.propagate(cone, hit["t"])
             props = gbuffer.decode_hit(
                 scene, hit, xo, ray, sun_dir, tan_sun, cfg.use_white_furnace,
-                settings.emission_intensity, cone_width=cone["width"],
+                settings.emission_intensity,
+                forced_material=settings.forced_material, cone_width=cone["width"],
             )
 
             # ---- radiance at the hit (TraceOpaque.cs.hlsl:291-371) ----
@@ -544,6 +545,7 @@ def psr_walk(ctx, scene, cfg, settings, frame, pixel_idx, props, view_z, cam,
         new_props = gbuffer.decode_hit(
             scene, hit, xo, ray, sun_dir, tan_sun, cfg.use_white_furnace,
             settings.emission_intensity,
+            forced_material=settings.forced_material,
         )
         # accumulate emission seen through the mirror chain
         new_throughput = throughput * f
@@ -608,7 +610,8 @@ def trace_opaque(ctx: traversal.TraceContext, scene: Scene, cam: Camera,
     cone = raycone.propagate(cone, hit["t"])
     props = gbuffer.decode_hit(
         scene, hit, origin, direction, sun_dir, tan_sun, cfg.use_white_furnace,
-        settings.emission_intensity, cone_width=cone["width"],
+        settings.emission_intensity,
+        forced_material=settings.forced_material, cone_width=cone["width"],
     )
     props = gbuffer.apply_overrides(
         props, settings.roughness_override, settings.metalness_override

@@ -125,6 +125,7 @@ def _delta_chain(ctxs, scene, cfg: RenderConfig, settings, frame, pixel_idx,
         new_props = gbuffer.decode_hit(
             scene, hit, xo, ray, sun_dir, tan_sun, cfg.use_white_furnace,
             settings.emission_intensity,
+            forced_material=settings.forced_material,
         )
 
         # Beer-Lambert absorption through the medium (TraceTransparent:81-84)
@@ -221,6 +222,7 @@ def trace_transparent_color(ctxs: traversal.SceneContexts, scene: Scene,
     props = gbuffer.decode_hit(
         scene, hit, origin, direction, sun_dir, tan_sun, cfg.use_white_furnace,
         settings.emission_intensity,
+        forced_material=settings.forced_material,
     )
 
     # BOTH delta chains (reflection + refraction, TraceTransparent.cs.hlsl:

@@ -10,6 +10,7 @@ import dataclasses
 import os
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 import pytest
 
@@ -95,6 +96,29 @@ def contexts():
     return out
 
 
+_JITTED: dict = {}
+
+
+def _jitted_frame(contexts, scene_name, cfg):
+    """One compiled frame program per unique (scene, RenderConfig): the
+    corpus deliberately reuses render configs across its state sweeps (like
+    the reference's 343 state-only .bin records over ~10 pipeline setups,
+    NRDSample.cpp:1788), so replay cost is one compile per config plus a fast
+    execution per record — not an eager re-trace per record."""
+    key = (scene_name, cfg)
+    if key not in _JITTED:
+        ctx, scene = contexts[scene_name]
+
+        @jax.jit
+        def fn(scene, cam, settings, history, reset):
+            return frame_mod.render_frame(
+                ctx, scene, cam, cfg, settings, history, reset_history=reset
+            )
+
+        _JITTED[key] = fn
+    return _JITTED[key]
+
+
 @pytest.mark.parametrize("scene_name,index", _record_ids())
 def test_record_renders(contexts, scene_name, index):
     path = os.path.join(REPO, "Tests", f"{scene_name}.json")
@@ -103,13 +127,12 @@ def test_record_renders(contexts, scene_name, index):
     cfg = _cfg_from_render(render)
     hist = frame_mod.History.create(cfg)
     frames = (animation or {}).get("frames", 1)
+    fn = _jitted_frame(contexts, scene_name, cfg)
     out = None
     for step in range(frames):
         frame_cam = _orbit_cam(cam, step, frames) if animation else cam
-        out, hist = frame_mod.render_frame(
-            ctx, scene, frame_cam, cfg, settings, hist,
-            reset_history=(step == 0),  # forced history reset on record load
-        )
+        # forced history reset on record load (step 0), traced flag
+        out, hist = fn(scene, frame_cam, settings, hist, jnp.bool_(step == 0))
     img = np.asarray(out["color"])
     assert np.isfinite(img).all()
     assert img.max() > 0.0
@@ -137,10 +160,10 @@ def test_check_me_deterministic(contexts, index):
 
 def test_corpus_size():
     """The shipped corpus stays at reference-meaningful density (the reference
-    ships 343 .bin records; VERDICT r1 floor for this repo is 60)."""
+    ships 343 .bin records; the corpus now matches that count)."""
     total = sum(records.count_records(os.path.join(REPO, "Tests", f"{s}.json"))
                 for s in SCENES)
-    assert total >= 60, total
+    assert total >= 343, total
 
 
 def test_corpus_covers_feature_matrix():

@@ -286,6 +286,94 @@ def build_corpus():
            (S(sun_elevation=60.0, exposure=25.0), {})]
     )
 
+    # --- v4 density sweeps (round 3): the reference's corpus is dominated by
+    # BistroInterior (245 of 343 records, Tests/*.bin ÷ 648 B) — dense
+    # state-only snapshots over a handful of pipeline setups. Mirror that
+    # shape: interior-night gets the dense sweep; every record below reuses a
+    # render config already present above, so replay stays on the jit cache.
+    import itertools
+
+    def grid(scene, render, settings_list, cams_list):
+        return [(s, cam_for(scene, **ckw), dict(render), None)
+                for s, ckw in itertools.product(settings_list, cams_list)]
+
+    night_cams = [
+        {}, dict(d_eye=(0.5, 0.0, 0.3)), dict(d_eye=(-0.5, 0.2, 0.0)),
+        dict(d_eye=(0.0, -0.8, 0.5)), dict(d_eye=(0.3, 0.4, -0.2)),
+        dict(fov=45.0), dict(fov=75.0), dict(d_eye=(0.8, 0.0, 0.0), fov=50.0),
+    ]
+    night_states = (
+        [S(**nightly, emission_intensity=e)
+         for e in (0.15, 0.4, 0.7, 1.5, 3.0, 5.0, 9.0, 16.0)]
+        + [S(**nightly, emission_intensity=2.0, exposure=x)
+           for x in (10.0, 60.0, 240.0)]
+        + [S(**nightly, max_accumulated_frame_num=m) for m in (2, 10, 40)]
+    )
+    out["interior-night"] += grid(
+        "interior-night", {"denoiser": REB, "bounce_num": 2},
+        night_states, night_cams,
+    )
+    out["interior-night"] += [
+        (S(**nightly, prev_frame_confidence=c), cam_for("interior-night", **ckw),
+         {"denoiser": REB, "use_sharc": True, "use_confidence": True}, None)
+        for c, ckw in itertools.product(
+            (0.1, 0.4, 0.9), ({}, dict(d_eye=(0.4, 0.0, 0.2))))
+    ]
+    out["interior-night"] += grid(
+        "interior-night", {"denoiser": REL, "use_sharc": True},
+        [S(**nightly, emission_intensity=e) for e in (0.5, 2.0, 6.0)]
+        + [S(**nightly, min_probability=p) for p in (0.1, 0.3)]
+        + [S(**nightly, forced_material=1)],
+        [{}, dict(d_eye=(-0.3, 0.3, 0.1))],
+    )
+
+    out["exterior"] += grid(
+        "exterior", {"denoiser": REB},
+        [S(sun_elevation=el, sun_azimuth=az)
+         for el, az in itertools.product((8.0, 35.0, 65.0), (-147.0, 0.0, 90.0))],
+        [{}, dict(d_eye=(10.0, 0.0, 0.0)), dict(d_eye=(-10.0, 5.0, 4.0))],
+    )
+
+    out["shaderballs"] += grid(
+        "shaderballs", {"denoiser": REB},
+        [S(sun_elevation=45.0, roughness_override=r, metalness_override=m)
+         for r, m in itertools.product((0.2, 0.5, 0.8), (0.0, 0.5, 1.0))],
+        [{}, dict(d_eye=(2.0, -1.0, 0.0))],
+    )
+
+    out["kitchen"] += grid(
+        "kitchen", {"denoiser": REB, "psr_bounce_num": 1},
+        [S(sun_elevation=el, exposure=x)
+         for el, x in itertools.product((20.0, 50.0, 80.0), (50.0, 120.0))],
+        [{}, dict(d_eye=(0.25, -0.25, 0.15))],
+    )
+
+    out["cornellbox"] += grid(
+        "cornellbox", {"denoiser": REB, "bounce_num": 1},
+        [S(**shadowless, emission_intensity=e, exposure=x)
+         for e, x in itertools.product((0.3, 1.0, 4.0), (40.0, 120.0))],
+        [{}, dict(d_eye=(0.25, 0.1, 0.0)), dict(d_eye=(-0.3, 0.0, 0.2))],
+    )
+    # forced-material records (debug material overrides, round-3 wiring;
+    # same render config, settings-only — exercises the override at replay)
+    out["cornellbox"] += [
+        (S(**shadowless, forced_material=fm), cam_for("cornellbox"),
+         {"denoiser": REB, "bounce_num": 1}, None)
+        for fm in (1, 2)
+    ]
+    out["shaderballs"] += [
+        (S(sun_elevation=45.0, forced_material=fm), cam_for("shaderballs"),
+         {"denoiser": REB}, None)
+        for fm in (1, 2)
+    ]
+
+    out["cornellbox-glass"] += grid(
+        "cornellbox-glass", {"denoiser": REB, "use_translucency": True},
+        [S(sun_elevation=el, sun_angular_diameter=d)
+         for el, d in itertools.product((25.0, 55.0, 80.0), (0.3, 1.5))],
+        [{}, dict(d_eye=(0.4, -0.2, 0.1))],
+    )
+
     # stress/fault-injection records (SURVEY.md §5.3; one new config each)
     out["cornellbox"] += [
         (S(**shadowless), cam_for("cornellbox"),
