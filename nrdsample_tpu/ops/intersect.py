@@ -65,6 +65,12 @@ def _mt_intersect(o, d, p0, e1, e2):
     return t, u, v, hit
 
 
+# live-memory budget for one (R_chunk, tile) intersection plane: frame-sized
+# launches (4M+ rays at 1080p with batched shadows) would otherwise
+# materialize an R x tile fusion output measured at 34 GB -> HBM OOM
+_DENSE_BYTES_BUDGET = 256 << 20
+
+
 def intersect_dense(origin: jnp.ndarray, direction: jnp.ndarray,
                     p0: jnp.ndarray, e1: jnp.ndarray, e2: jnp.ndarray,
                     t_max=T_MAX, tile: int = 2048):
@@ -73,10 +79,35 @@ def intersect_dense(origin: jnp.ndarray, direction: jnp.ndarray,
     origin/direction: (R, 3); p0/e1/e2: (T, 3).
     Returns dict(t, u, v, tri) with tri = -1 on miss. The triangle loop is a
     `lax.scan` over tiles of `tile` triangles so VMEM working sets stay bounded
-    and XLA pipelines the HBM streams.
+    and XLA pipelines the HBM streams; rays chunk via lax.map when the per-tile
+    plane would exceed the live-memory budget.
     """
     r = origin.shape[0]
     t_count = p0.shape[0]
+    # right-size the tile: tiny scenes (CornellBox: 36 tris) must not pay a
+    # 2048-wide padded Möller-Trumbore per ray
+    tile = min(tile, max(-(-t_count // 128) * 128, 128))
+    rc = max(128, _DENSE_BYTES_BUDGET // (tile * 4))
+    if r * tile * 4 > _DENSE_BYTES_BUDGET and rc < r:
+        rpad = (-r) % rc
+        if rpad:
+            padr = lambda a: jnp.concatenate(
+                [a, jnp.broadcast_to(a[-1:], (rpad,) + a.shape[1:])], axis=0)
+            origin, direction = padr(origin), padr(direction)
+        tmf = jnp.broadcast_to(jnp.asarray(t_max, origin.dtype), (r,))
+        tmp = jnp.concatenate([tmf, jnp.zeros((rpad,), origin.dtype)], axis=0)             if rpad else tmf
+        nch = (r + rpad) // rc
+
+        def one(args):
+            o, d, tm = args
+            return intersect_dense(o, d, p0, e1, e2, tm, tile)
+
+        out = jax.lax.map(
+            one,
+            (origin.reshape(nch, rc, 3), direction.reshape(nch, rc, 3),
+             tmp.reshape(nch, rc)),
+        )
+        return {k: v.reshape(-1)[:r] for k, v in out.items()}
     pad = (-t_count) % tile
     if pad:
         padz = lambda a: jnp.concatenate([a, jnp.zeros((pad, 3), a.dtype)], axis=0)
@@ -128,6 +159,28 @@ def occluded_dense(origin: jnp.ndarray, direction: jnp.ndarray,
     """
     r = origin.shape[0]
     t_count = p0.shape[0]
+    tile = min(tile, max(-(-t_count // 128) * 128, 128))
+    rc = max(128, _DENSE_BYTES_BUDGET // (tile * 4))
+    if r * tile * 4 > _DENSE_BYTES_BUDGET and rc < r:
+        rpad = (-r) % rc
+        if rpad:
+            padr = lambda a: jnp.concatenate(
+                [a, jnp.broadcast_to(a[-1:], (rpad,) + a.shape[1:])], axis=0)
+            origin, direction = padr(origin), padr(direction)
+        tmf = jnp.broadcast_to(jnp.asarray(t_max), (r,))
+        tmp = jnp.concatenate([tmf, jnp.zeros((rpad,))], axis=0) if rpad else tmf
+        nch = (r + rpad) // rc
+
+        def one(args):
+            o, d, tm = args
+            return occluded_dense(o, d, p0, e1, e2, tm, tile)
+
+        out = jax.lax.map(
+            one,
+            (origin.reshape(nch, rc, 3), direction.reshape(nch, rc, 3),
+             tmp.reshape(nch, rc)),
+        )
+        return out.reshape(-1)[:r]
     pad = (-t_count) % tile
     if pad:
         padz = lambda a: jnp.concatenate([a, jnp.zeros((pad, 3), a.dtype)], axis=0)

@@ -596,18 +596,42 @@ def _sort_worklists(key, hit):
     return order, keys_sorted, jnp.sum(hit, axis=1).astype(jnp.int32)
 
 
+# live-memory budget for the stage-1 exact entry matrix; beyond it the
+# block-min is computed in lax.map chunks (XLA fuses the entry math into the
+# reduction within a chunk, but at frame-sized R x C the single-shot fusion
+# has been observed to materialize the full matrix -> HBM OOM at 1080p+)
+_STAGE1_BYTES_BUDGET = 256 << 20
+
+
+def _block_min_entry(origin, direction, cs, t_max, block: int):
+    """min over each ray block of the exact per-ray entry distances:
+    (R,3) x C boxes -> (nb, C), chunked to bound live memory."""
+    r = origin.shape[0]
+    bounds = cs if isinstance(cs, tuple) else (cs.bounds_min, cs.bounds_max)
+    c = bounds[0].shape[0]
+    nb = r // block
+    if r * c * 4 <= _STAGE1_BYTES_BUDGET:
+        entry = _cluster_entry(origin, direction, bounds, t_max)   # (R, C)
+        return jnp.min(entry.reshape(nb, block, c), axis=1)
+    o_b = origin.reshape(nb, block, 3)
+    d_b = direction.reshape(nb, block, 3)
+    tm_b = t_max.reshape(nb, block)
+    chunk = max(1, _STAGE1_BYTES_BUDGET // (block * c * 4))
+
+    def one(args):
+        o, d, tm = args
+        e = _cluster_entry(o, d, bounds, tm)                        # (block, C)
+        return jnp.min(e, axis=0)
+
+    return jax.lax.map(one, (o_b, d_b, tm_b), batch_size=min(chunk, nb))
+
+
 def _block_worklists(origin, direction, cs: ClusterSet, t_max, block: int):
     """Stage 1 (flat): exact dense (R, C) entry matrix -> per-packet worklist.
     Best for small C; _block_worklists_super is the big-scene variant.
     (A pure per-block interval variant was measured SLOWER at both C=104 and
     C=782: conservative keys cost more kernel iterations than they save.)"""
-    r = origin.shape[0]
-    c = cs.count
-    nb = r // block
-
-    entry = _cluster_entry(origin, direction, cs, t_max)   # (R, C)
-    entry_b = entry.reshape(nb, block, c)
-    block_near = jnp.min(entry_b, axis=1)                  # (nb, C)
+    block_near = _block_min_entry(origin, direction, cs, t_max, block)  # (nb, C)
     hit = block_near < T_MAX
     key = jnp.where(hit, block_near, T_MAX)
     return _sort_worklists(key, hit)
@@ -625,12 +649,11 @@ def _block_worklists_super(origin, direction, cs: ClusterSet, t_max, block: int)
     c = cs.count
     nb = r // block
 
-    # exact per-ray supercluster entries, block-reduced
-    entry_s = _cluster_entry(
-        origin, direction, (cs.super_min, cs.super_max), t_max
-    )                                                           # (R, Cs)
-    cs_n = entry_s.shape[1]
-    block_near_s = jnp.min(entry_s.reshape(nb, block, cs_n), axis=1)  # (nb, Cs)
+    # exact per-ray supercluster entries, block-reduced (chunked: the full
+    # (R, Cs) matrix at frame-sized R would blow HBM, see _block_min_entry)
+    block_near_s = _block_min_entry(
+        origin, direction, (cs.super_min, cs.super_max), t_max, block
+    )                                                                 # (nb, Cs)
     super_key = jnp.repeat(block_near_s, SUPER_SIZE, axis=1)[:, :c]   # (nb, C)
 
     # cluster-level interval refinement (per-block ray bounds)

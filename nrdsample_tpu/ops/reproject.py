@@ -92,6 +92,7 @@ def reproject_bounded(img: jnp.ndarray, pos: jnp.ndarray,
     dx = disp[..., 0]
     dy = disp[..., 1]
 
+    assert (2 * d) % 8 == 0, "DMA row extent (band + 2d) must be 8-aligned"
     band = min(_BAND, h)
     pad_h = (-h) % band
     if pad_h:
@@ -151,14 +152,30 @@ def sample_bilinear_auto(img: jnp.ndarray, pos: jnp.ndarray,
 
     if not _tpu_platform():
         return filtering.sample_bilinear(img, pos)
+    if pos.ndim > 3:
+        # batched tap requests (leading tap axis, e.g. SIGMA's 8 poisson blur
+        # taps): displacements are blur-radius scale, far beyond the stencil
+        # bound — use the robust tap form outright (avoids tracing 8 unused
+        # stencil kernels under the cond)
+        return filtering.sample_bilinear(img, pos)
 
     from nrdsample_tpu.denoise import common
 
     h, w = img.shape[0], img.shape[1]
     disp = pos - common.pixel_positions(h, w)
-    in_bound = jnp.max(jnp.abs(disp)) < (d - 1)
+    mx = jnp.max(jnp.abs(disp))
+    # tiered static bounds: near-static frames (TAA-jitter scale motion, the
+    # common case) take the 2*4+1=9-pass stencil; moderate motion the
+    # 2*8+1=17-pass one; fast motion falls back to the robust taps.
+    # d must keep the DMA row extent (band + 2d) 8-aligned (Mosaic sublane
+    # tiling), so the small tier is 4, not 2
+    small = 4
     return jax.lax.cond(
-        in_bound,
-        lambda: reproject_bounded(img, pos, d),
-        lambda: filtering.sample_bilinear(img, pos),
+        mx < (small - 1),
+        lambda: reproject_bounded(img, pos, small),
+        lambda: jax.lax.cond(
+            mx < (d - 1),
+            lambda: reproject_bounded(img, pos, d),
+            lambda: filtering.sample_bilinear(img, pos),
+        ),
     )

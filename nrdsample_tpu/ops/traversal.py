@@ -261,6 +261,11 @@ def build_context(scene, mode: str | None = None):
     inv[np.asarray(order)] = np.arange(len(order), dtype=np.int32)
     em = np.asarray(scene.emissive_tris)
     em_new = np.where(em >= 0, inv[np.clip(em, 0, len(order) - 1)], -1).astype(np.int32)
+    # big emitter sets get their own packet ClusterSet (merged-emissive BLAS
+    # analogue) — built from the HOST numpy scene (no device readbacks)
+    from nrdsample_tpu.render import emissive_is as _em
+
+    ctx.emissive = _em.build_emissive_clusters(scene)
     new_scene = scene_to_device(
         dc.replace(scene, tris=new_tris, emissive_tris=em_new)
     )
@@ -400,6 +405,9 @@ def build_scene_contexts(scene, mode: str | None = None):
 
     from nrdsample_tpu.scene.types import scene_to_device
 
+    from nrdsample_tpu.render import emissive_is as _em
+
+    ctx_o.emissive = _em.build_emissive_clusters(scene)
     scene2 = scene_to_device(
         dc.replace(scene, tris=merged, emissive_tris=em_new)
     )

@@ -69,8 +69,12 @@ def sharded_render_fn(ctx, cfg, mesh: Mesh):
 
     def trace_local(scene, cam, settings, sharc, l1, frame_index, pixel_idx):
         h = frame_mod.History(frame_index=frame_index, sharc=sharc, l1=l1)
+        # probe_axis shards the SHARC probe grid with the pixels (each device
+        # traces 1/n of the probes, gathered back — bit-identical, see
+        # sharc_update.sharc_update_pass)
         return frame_mod.trace_frame(
-            ctx, scene, cam, cfg, settings, h, pixel_idx=pixel_idx
+            ctx, scene, cam, cfg, settings, h, pixel_idx=pixel_idx,
+            probe_axis=PIXEL_AXIS,
         )
 
     traced = jax.shard_map(

@@ -79,7 +79,8 @@ class History:
 
 def trace_frame(ctx: traversal.TraceContext, scene: Scene, cam: Camera,
                 cfg: RenderConfig, settings: Settings, history: History,
-                pixel_idx=None, dynamics=None):
+                pixel_idx=None, dynamics=None,
+                probe_axis: str | None = None):
     """Phase 1 — everything that launches rays: SHARC update probes, the opaque
     trace, the glass-shadow translucency march, and the glass delta chains.
 
@@ -107,7 +108,8 @@ def trace_frame(ctx: traversal.TraceContext, scene: Scene, cam: Camera,
         from nrdsample_tpu.render import sharc_update
 
         sharc_state, probes = sharc_update.sharc_update_pass(
-            ctxs.opaque, scene, cam, cfg, settings, frame, sharc_state
+            ctxs.opaque, scene, cam, cfg, settings, frame, sharc_state,
+            probe_axis=probe_axis,
         )
 
     gb = trace_opaque.trace_opaque(

@@ -9,13 +9,22 @@ sumIntensity / (chosenIntensity * K), clamped to 8 (firefly suppression).
 Occlusion is NOT tested here — the chosen ray is traced normally afterwards, so
 blockers resolve naturally.
 
-TPU shape: the candidate loop is a static python unroll of K dense
-ray-vs-emissive-set intersections (E is tiny: <= 256 triangles), fully batched
-over rays. Light intensity is a *sampling weight* -> detached from autodiff;
-radiance gradients flow through the normal shading path.
+TPU shape: all K candidate directions are generated up front and probed in ONE
+batched launch, then the reservoir folds the precomputed intensities in a
+cheap lax.scan. Two probe paths:
+  * dense (E <= DENSE_EMISSIVE_MAX): (K*R, E) Möller-Trumbore, fused by XLA —
+    exact and fastest for small emitter sets;
+  * packet (big sets, TPU): closest-hit against a dedicated emissive
+    ClusterSet (the merged-emissive BLAS analogue) built host-side in
+    build_context — Bistro-night class scenes (1000s of emissive tris) keep
+    ALL emitters instead of an area-truncated 256.
+Light intensity is a *sampling weight* -> detached from autodiff; radiance
+gradients flow through the normal shading path.
 """
 
 from __future__ import annotations
+
+import dataclasses
 
 import jax
 import jax.numpy as jnp
@@ -24,13 +33,51 @@ from nrdsample_tpu.mathlib import color, geometry as geo, rng, sampling
 from nrdsample_tpu.ops import intersect
 from nrdsample_tpu.scene.types import Scene
 
+# biggest emitter set the dense (K*R, E) probe handles; beyond this the
+# packet path (TPU) or a chunked dense fallback (CPU) takes over
+DENSE_EMISSIVE_MAX = 512
 
-def build_emissive_set(scene: Scene, emission_scale=1.0):
+
+def build_emissive_clusters(scene: Scene):
+    """HOST-side (numpy, once per scene): ClusterSet over the emissive subset
+    + per padded/reordered triangle base luminance. Returns None for small
+    sets (the dense probe path needs nothing extra).
+
+    The analogue of the reference's merged-emissive BLAS build
+    (NRDSample.cpp:2516-2523): a separate acceleration structure holding only
+    emitters, traced by CastLightRay_AnyHit."""
+    import numpy as np
+
+    from nrdsample_tpu.ops.cluster import build_clusters
+    from nrdsample_tpu.ops.traversal import _tpu_platform
+    from nrdsample_tpu.scene.types import TriangleSoA
+
+    if not _tpu_platform():
+        return None  # the packet probe is a Mosaic kernel (TPU-only)
+    ids = np.asarray(scene.emissive_tris)
+    ids = ids[ids >= 0]
+    if len(ids) <= DENSE_EMISSIVE_MAX:
+        return None
+    sub = TriangleSoA(**{
+        f.name: np.asarray(getattr(scene.tris, f.name))[ids]
+        for f in dataclasses.fields(TriangleSoA)
+    })
+    cs, tris_p, order = build_clusters(sub)
+    mat = np.asarray(sub.material)[order]
+    em = np.asarray(scene.materials.emission)[mat]
+    lum = em @ np.asarray([0.2126, 0.7152, 0.0722], em.dtype)
+    pad = tris_p.count - len(lum)
+    if pad:
+        lum = np.concatenate([lum, np.zeros(pad, lum.dtype)])
+    return {"clusters": cs, "base_lum": jnp.asarray(lum)}
+
+
+def build_emissive_set(scene: Scene, emission_scale=1.0, clusters=None):
     """Gather the padded emissive-triangle subset: the light-BVH analogue.
 
     Returns dict with p0/e1/e2 (E, 3) (degenerate rows for padding) and
-    intensity (E,) = luminance of the material emission.
-    """
+    intensity (E,) = luminance of the material emission. `clusters` is the
+    optional host-built packet structure (build_emissive_clusters)."""
     ids = scene.emissive_tris
     valid = ids >= 0
     safe = jnp.maximum(ids, 0)
@@ -42,7 +89,12 @@ def build_emissive_set(scene: Scene, emission_scale=1.0):
     mat = tr.material[safe]
     inten = color.luminance(scene.materials.emission[mat]) * emission_scale
     inten = jnp.where(valid, inten, 0.0)
-    return {"p0": p0, "e1": e1, "e2": e2, "intensity": inten, "any": scene.emissive_count > 0}
+    out = {"p0": p0, "e1": e1, "e2": e2, "intensity": inten,
+           "any": scene.emissive_count > 0}
+    if clusters is not None:
+        out["clusters"] = clusters["clusters"]
+        out["cl_lum"] = clusters["base_lum"] * emission_scale
+    return out
 
 
 def light_probe(em: dict, origin: jnp.ndarray, direction: jnp.ndarray) -> jnp.ndarray:
@@ -59,6 +111,27 @@ def light_probe(em: dict, origin: jnp.ndarray, direction: jnp.ndarray) -> jnp.nd
     return jnp.where(tmin < intersect.T_MAX, inten, 0.0)
 
 
+def light_probe_batch(em: dict, origin: jnp.ndarray, directions: jnp.ndarray,
+                      active: jnp.ndarray) -> jnp.ndarray:
+    """All K candidates in ONE launch: origin (R, 3), directions (K, R, 3),
+    active (K, R) -> intensities (K, R). Packet path when the emissive set
+    ships a ClusterSet (big scenes, TPU), dense Möller-Trumbore otherwise."""
+    k, r = directions.shape[:2]
+    if "clusters" in em:
+        from nrdsample_tpu.ops.packet import closest_hit_packet
+
+        o_flat = jnp.broadcast_to(origin[None], (k, r, 3)).reshape(k * r, 3)
+        d_flat = directions.reshape(k * r, 3)
+        # inactive candidates still trace (static shape); masked after
+        res = closest_hit_packet(em["clusters"], o_flat, d_flat,
+                                 sort=True, need_uv=False)
+        hit = res["tri"] >= 0
+        li = jnp.where(hit, em["cl_lum"][jnp.maximum(res["tri"], 0)], 0.0)
+        return li.reshape(k, r) * active
+    li = jax.vmap(lambda d: light_probe(em, origin, d))(directions)
+    return li * active
+
+
 def reservoir_sample_direction(props: dict, em: dict, is_diffuse: jnp.ndarray,
                                pixel_idx, frame, dim: int, n_candidates: int,
                                trim, spec_k_scale: jnp.ndarray | None = None):
@@ -66,8 +139,7 @@ def reservoir_sample_direction(props: dict, em: dict, is_diffuse: jnp.ndarray,
 
     spec_k_scale: per-ray fraction in [0,1] scaling the candidate count for
     specular lobes (GetSpecMagicCurve coupling, TraceOpaque.cs.hlsl:213).
-    Returns (ray_local [N,3], throughput_multiplier [N]).
-    """
+    Returns (ray_local [N,3], throughput_multiplier [N])."""
     n = props["n"]
     v_local = sampling.to_local(props["v"], n)
     x = props["x"]
@@ -80,23 +152,31 @@ def reservoir_sample_direction(props: dict, em: dict, is_diffuse: jnp.ndarray,
         k_spec = jnp.ceil(n_candidates * jnp.clip(spec_k_scale, 0.0, 1.0))
         k_eff = jnp.where(is_diffuse, k_eff, jnp.maximum(k_spec, 1.0))
 
-    sum_i = jnp.zeros(x.shape[:-1])
-    chosen_i = jnp.ones(x.shape[:-1])
-    ray_local = jnp.zeros_like(x)
+    # ---- phase 1: ALL candidate directions, vectorized over k ----
+    ks = jnp.arange(n_candidates, dtype=jnp.int32)
 
-    # candidate loop as lax.scan (compile-cost: one body, not K unrolled
-    # probes); identical math/order to the unrolled form — at k==0 the first
-    # candidate seeds the reservoir unconditionally
-    def body(carry, k):
-        sum_i, chosen_i, ray_local = carry
+    def gen(k):
         rnd = rng.uniform2(pixel_idx, frame, dim + 3 * k)
         cand_diff = sampling.cosine_ray(rnd)
         h = sampling.vndf_ggx(rnd, v_local, props["roughness"], trim)
         cand_spec = geo.reflect(-v_local, h)
-        cand = jnp.where(is_diffuse[..., None], cand_diff, cand_spec)
-        active = k < k_eff
-        cand_world = sampling.to_world(cand, n)
-        li = light_probe(em, origin, cand_world) * active
+        return jnp.where(is_diffuse[..., None], cand_diff, cand_spec)
+
+    cands = jax.vmap(gen)(ks)                                   # (K, R, 3)
+    cands_world = jax.vmap(lambda c: sampling.to_world(c, n))(cands)
+    active = (ks[:, None] < k_eff[None, :]).astype(x.dtype)     # (K, R)
+
+    # ---- phase 2: ONE batched light probe ----
+    li_all = light_probe_batch(em, origin, cands_world, active)  # (K, R)
+
+    # ---- phase 3: reservoir fold over precomputed intensities (cheap) ----
+    sum_i = jnp.zeros(x.shape[:-1])
+    chosen_i = jnp.ones(x.shape[:-1])
+    ray_local = jnp.zeros_like(x)
+
+    def body(carry, inp):
+        sum_i, chosen_i, ray_local = carry
+        k, li, cand = inp
         sum_i = sum_i + li
         take_rnd = rng.uniform1(pixel_idx, frame, dim + 3 * k + 2)
         take = (li > 0.0) & (take_rnd < li / jnp.maximum(sum_i, 1e-9))
@@ -105,8 +185,7 @@ def reservoir_sample_direction(props: dict, em: dict, is_diffuse: jnp.ndarray,
         return (sum_i, chosen_i, ray_local), None
 
     (sum_i, chosen_i, ray_local), _ = jax.lax.scan(
-        body, (sum_i, chosen_i, ray_local),
-        jnp.arange(n_candidates, dtype=jnp.int32),
+        body, (sum_i, chosen_i, ray_local), (ks, li_all, cands),
     )
 
     mult = sum_i / (chosen_i * jnp.maximum(k_eff, 1.0))

@@ -27,7 +27,8 @@ from nrdsample_tpu.scene.types import Camera, Scene
 
 
 def _trace_probe_paths(ctx: traversal.TraceContext, scene: Scene, cam: Camera,
-                       cfg: RenderConfig, settings: Settings, frame):
+                       cfg: RenderConfig, settings: Settings, frame,
+                       sidx=None):
     """Trace the 1/ds-res probe paths for frame index `frame` with THAT
     frame's RNG streams and camera matrices. Pure function of (scene, cam,
     settings, frame) — re-invoking it with a PREVIOUS frame index replays the
@@ -35,8 +36,12 @@ def _trace_probe_paths(ctx: traversal.TraceContext, scene: Scene, cam: Camera,
     reference's gradient mechanism (SharcUpdate.cs.hlsl:222-250: Trace(PREV)
     with the prev-frame RNG seed).
 
-    Returns (first_l, probe_vz, probe_n, (xs, ns, ls, ms) flattened updates).
-    """
+    sidx: optional (m,) probe-grid indices — under pixel sharding each device
+    traces its own contiguous probe slice (sharc_update_pass gathers the
+    results back to the full grid). Default: the whole grid.
+
+    Returns (first_l (m,3), probe_vz (m,), probe_n (m,3),
+    verts (depth, m, ...) stacked per-vertex records pre-flatten)."""
     ds = cfg.sharc_downscale
     sw, sh = max(cfg.width // ds, 1), max(cfg.height // ds, 1)
     n_px = sw * sh
@@ -47,7 +52,8 @@ def _trace_probe_paths(ctx: traversal.TraceContext, scene: Scene, cam: Camera,
     # map the low-res grid onto full-res pixels, rotating the sub-pixel offset
     # per frame so the cache sees all positions over time (SharcUpdate's
     # jittered downscale grid)
-    sidx = jnp.arange(n_px, dtype=jnp.int32)
+    if sidx is None:
+        sidx = jnp.arange(n_px, dtype=jnp.int32)
     sx = sidx % sw
     sy = sidx // sw
     off = rng.hash_u32(sidx, frame, 9001)
@@ -129,22 +135,23 @@ def _trace_probe_paths(ctx: traversal.TraceContext, scene: Scene, cam: Camera,
         back_body, l_tail, {"l": verts["l"], "w": verts["w"]}, reverse=True
     )
 
-    # flatten in the original last-vertex-first order
-    def rev_flat(a):
-        return jnp.flip(a, axis=0).reshape((depth * n_px,) + a.shape[2:])
-
-    xs = rev_flat(verts["x"])
-    ns = rev_flat(verts["n"])
-    ls = rev_flat(l_heres)
-    ms = rev_flat(verts["alive"])
     first_l = l_heres[0]  # suffix radiance at the FIRST path vertex
-    return (first_l.reshape(sh, sw, 3), probe_vz.reshape(sh, sw),
-            probe_n.reshape(sh, sw, 3), (xs, ns, ls, ms))
+    stacked = {"x": verts["x"], "n": verts["n"], "l": l_heres,
+               "alive": verts["alive"]}
+    return first_l, probe_vz, probe_n, stacked
+
+
+def _rev_flat(a):
+    """Flatten stacked (depth, n_px, ...) vertex records in the original
+    last-vertex-first scatter order."""
+    depth, n_px = a.shape[0], a.shape[1]
+    return jnp.flip(a, axis=0).reshape((depth * n_px,) + a.shape[2:])
 
 
 def sharc_update_pass(ctx: traversal.TraceContext, scene: Scene, cam: Camera,
                       cfg: RenderConfig, settings: Settings, frame,
-                      state: sharc.SharcState) -> sharc.SharcState:
+                      state: sharc.SharcState,
+                      probe_axis: str | None = None) -> sharc.SharcState:
     """Trace the low-res update paths and scatter radiance into the cache.
 
     With cfg.use_confidence, ALSO re-traces the PREVIOUS frame's probe paths
@@ -152,12 +159,56 @@ def sharc_update_pass(ctx: traversal.TraceContext, scene: Scene, cam: Camera,
     probes["prev_retrace_lum"/"prev_retrace_vz"] feed the history-confidence
     gradient |L_prev_retraced - L_prev_stored| (SharcUpdate.cs.hlsl:222-250),
     which isolates lighting change from sampling noise (the same path is
-    replayed, so the Monte-Carlo noise cancels exactly on static scenes)."""
+    replayed, so the Monte-Carlo noise cancels exactly on static scenes).
+
+    probe_axis: mesh axis name when called inside shard_map — each device
+    traces 1/n of the probe grid and the results are all_gathered back to the
+    full grid (bit-identical to the unsharded pass: per-probe RNG is keyed by
+    probe id, and the gather restores canonical order before the scatter), so
+    the table/probe planes stay replicated while the TRACE work — the
+    expensive part — shards with the pixels. Without this the probe pass was
+    replicated-compute on every device (round-2 review weak #9)."""
     import dataclasses as dc
 
-    first_l, probe_vz, probe_n, (xs, ns, ls, ms) = _trace_probe_paths(
-        ctx, scene, cam, cfg, settings, frame
-    )
+    ds = cfg.sharc_downscale
+    sw, sh = max(cfg.width // ds, 1), max(cfg.height // ds, 1)
+    n_px = sw * sh
+
+    if probe_axis is not None:
+        n_dev = jax.lax.axis_size(probe_axis)
+        n_loc = -(-n_px // n_dev)
+        lo = jax.lax.axis_index(probe_axis) * n_loc
+        sidx = lo + jnp.arange(n_loc, dtype=jnp.int32)
+        valid = sidx < n_px
+        sidx = jnp.minimum(sidx, n_px - 1)
+
+        def gather_full(a, axis):
+            full = jax.lax.all_gather(a, probe_axis, axis=axis, tiled=True)
+            # local slices are contiguous ascending probe ids; pad entries
+            # (clamped duplicates) land past n_px and are cut here
+            return jax.lax.slice_in_dim(full, 0, n_px, axis=axis)
+    else:
+        sidx = None
+        valid = None
+
+        def gather_full(a, axis):
+            return a
+
+    def trace_full(cam_t, frame_t):
+        first_l, probe_vz, probe_n, stacked = _trace_probe_paths(
+            ctx, scene, cam_t, cfg, settings, frame_t, sidx=sidx
+        )
+        if valid is not None:
+            stacked = dict(stacked, alive=stacked["alive"] & valid[None, :])
+        first_l = gather_full(first_l, 0)
+        probe_vz = gather_full(probe_vz, 0)
+        probe_n = gather_full(probe_n, 0)
+        stacked = {k: gather_full(v, 1) for k, v in stacked.items()}
+        return first_l, probe_vz, probe_n, stacked
+
+    first_l, probe_vz, probe_n, stacked = trace_full(cam, frame)
+    xs, ns = _rev_flat(stacked["x"]), _rev_flat(stacked["n"])
+    ls, ms = _rev_flat(stacked["l"]), _rev_flat(stacked["alive"])
     # LOD transition dithering on the WRITE side too, so both rings near a
     # level boundary stay populated for the dithered queries
     lod_dither = rng.uniform1(jnp.arange(xs.shape[0], dtype=jnp.int32), frame, 800_077)
@@ -169,19 +220,17 @@ def sharc_update_pass(ctx: traversal.TraceContext, scene: Scene, cam: Camera,
     # consumer is denoise/confidence.py): first-vertex suffix radiance +
     # primary viewZ/normal at probe resolution
     probes = {
-        "radiance": first_l,
-        "view_z": probe_vz,
-        "normal": probe_n,
+        "radiance": first_l.reshape(sh, sw, 3),
+        "view_z": probe_vz.reshape(sh, sw),
+        "normal": probe_n.reshape(sh, sw, 3),
     }
     if cfg.use_confidence:
         prev_cam = dc.replace(
             cam, view_to_world=cam.view_to_world_prev, jitter=cam.jitter_prev
         )
-        prev_l, prev_vz, _, _ = _trace_probe_paths(
-            ctx, scene, prev_cam, cfg, settings, frame - 1
-        )
+        prev_l, prev_vz, _, _ = trace_full(prev_cam, frame - 1)
         from nrdsample_tpu.mathlib import color
 
-        probes["prev_retrace_lum"] = color.luminance(prev_l)
-        probes["prev_retrace_vz"] = prev_vz
+        probes["prev_retrace_lum"] = color.luminance(prev_l).reshape(sh, sw)
+        probes["prev_retrace_vz"] = prev_vz.reshape(sh, sw)
     return sharc.resolve(state, frame), probes

@@ -198,7 +198,10 @@ def trace_paths(ctx: traversal.TraceContext, scene: Scene, cam: Camera,
     if cfg.use_importance_sampling and scene.has_emissive:
         from nrdsample_tpu.render import emissive_is
 
-        em_set = emissive_is.build_emissive_set(scene, settings.emission_intensity)
+        em_set = emissive_is.build_emissive_set(
+            scene, settings.emission_intensity,
+            clusters=getattr(ctx, "emissive", None),
+        )
         n_cand = cfg.importance_samples
 
     path_num = cfg.rpp * (2 if cfg.tracing_mode == TracingMode.FULL else 1)

@@ -180,7 +180,7 @@ def _material_textures(doc, buffers, base_dir, mats, tex_res):
     return tex_mod.build_texture_set(per_material, res=tex_res)
 
 
-def load_gltf(path: str, max_emissive: int = 256, load_textures: bool = True,
+def load_gltf(path: str, max_emissive: int | None = None, load_textures: bool = True,
               tex_res: int = 256) -> Scene:
     """Load a .gltf/.glb file into a Scene (world-space flattened)."""
     base_dir = os.path.dirname(os.path.abspath(path))

@@ -104,7 +104,7 @@ def merge_meshes(meshes):
     return np.concatenate(vs), np.concatenate(is_)
 
 
-def _assemble(parts, materials_dict, max_emissive=256):
+def _assemble(parts, materials_dict, max_emissive=None):
     """parts: [(verts, idx, normals|None, mat_id)]; materials_dict: name->params."""
     all_v, all_i, all_n, all_m = [], [], [], []
     off = 0
@@ -555,4 +555,4 @@ def exterior(blocks: int = 4, window_grid: int = 6, cobbles: int = 60,
             config.FLAG_NON_TRANSPARENT | config.FLAG_LEAF,
         ] + [config.FLAG_NON_TRANSPARENT] * 3,
     }
-    return _assemble(parts, materials, max_emissive=256)
+    return _assemble(parts, materials)  # auto-sized: keeps ALL lamps

@@ -206,13 +206,29 @@ def build_triangle_soa(vertices: np.ndarray, indices: np.ndarray, normals: np.nd
     )
 
 
-def make_scene(tris: TriangleSoA, materials: Materials, max_emissive: int = 256) -> Scene:
-    """Finalize a scene: derive the emissive triangle list (host side)."""
+MAX_EMISSIVE_HARD_CAP = 8192
+
+
+def make_scene(tris: TriangleSoA, materials: Materials,
+               max_emissive: int | None = None) -> Scene:
+    """Finalize a scene: derive the emissive triangle list (host side).
+
+    max_emissive=None (default) auto-sizes the padded set: 256 for small
+    emitter counts (the dense light-probe path), otherwise the full count
+    rounded up to a 128 multiple (the emissive-IS packet path handles big
+    sets, render/emissive_is.py) up to MAX_EMISSIVE_HARD_CAP — Bistro-night
+    class scenes keep ALL their emitters instead of an area-truncated 256
+    (the reference's merged-emissive BLAS holds every emissive triangle,
+    NRDSample.cpp:2516-2523)."""
     emission = np.asarray(materials.emission)
     tri_mat = np.asarray(tris.material)
     is_emissive = emission.max(axis=-1)[tri_mat] > 0.0
     ids = np.nonzero(is_emissive)[0].astype(np.int32)
     count = len(ids)
+    if max_emissive is None:
+        max_emissive = 256 if count <= 256 else min(
+            -(-count // 128) * 128, MAX_EMISSIVE_HARD_CAP
+        )
     if count > max_emissive:
         # keep the largest-area emitters (budget like the ref's merged-emissive BLAS)
         areas = np.asarray(tris.world_area)[ids]

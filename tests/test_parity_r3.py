@@ -147,3 +147,39 @@ class TestAdaptiveAccumulation:
         e1, e5, e31 = run(1), run(5), run(31)
         assert e1 < e5 < e31
         assert e1 < 0.7 * e31
+
+
+class TestEmissiveScale:
+    def test_make_scene_keeps_big_emitter_sets(self):
+        """Bistro-night-class scenes keep ALL emitters (auto-sized padded set)
+        instead of an area-truncated 256 (round-2 review weak #8)."""
+        from nrdsample_tpu.scene import procedural
+
+        s = procedural.exterior(blocks=2, window_grid=2, cobbles=8,
+                                tree_count=4, tree_res=8, lamp_count=200)
+        # 200 lamps x 2 tris min each > 256: all must be kept
+        n_emissive = int(s.emissive_count)
+        assert n_emissive > 256
+        assert s.emissive_tris.shape[0] % 128 == 0
+
+    def test_light_probe_batch_matches_sequential(self):
+        """The batched K-candidate probe equals K sequential dense probes."""
+        import numpy as np
+
+        from nrdsample_tpu.render import emissive_is
+        from nrdsample_tpu.scene import procedural
+
+        scene = procedural.interior_night(n_lights=8, grid=2, sphere_res=10)
+        em = emissive_is.build_emissive_set(scene, 1.0)
+        rs = np.random.RandomState(0)
+        r, k = 256, 4
+        o = jnp.asarray((rs.rand(r, 3).astype(np.float32) - 0.5) * 4.0
+                        + np.array([0, 0, 1.5], np.float32))
+        d = rs.normal(size=(k, r, 3)).astype(np.float32)
+        d /= np.linalg.norm(d, axis=-1, keepdims=True)
+        d = jnp.asarray(d)
+        act = jnp.ones((k, r), jnp.float32)
+        batched = emissive_is.light_probe_batch(em, o, d, act)
+        seq = jnp.stack([emissive_is.light_probe(em, o, d[i])
+                         for i in range(k)])
+        np.testing.assert_array_equal(np.asarray(batched), np.asarray(seq))
