@@ -97,39 +97,63 @@ def build_emissive_set(scene: Scene, emission_scale=1.0, clusters=None):
     return out
 
 
+_PROBE_CHUNK = 1 << 19
+
+
 def light_probe(em: dict, origin: jnp.ndarray, direction: jnp.ndarray) -> jnp.ndarray:
     """CastLightRay_AnyHit: intensity of the nearest emissive surface along the
-    ray (0 on miss). Dense closest-hit against the emissive set."""
-    t, _, _, hit = intersect._mt_intersect(
-        origin[:, None, :], direction[:, None, :],
-        em["p0"][None], em["e1"][None], em["e2"][None],
+    ray (0 on miss). Dense closest-hit against the emissive set.
+
+    Frame-scale batched launches (K x R rays at 1080p+ = tens of millions)
+    are chunked OUTSIDE the body: both the (N, E) intersection planes and the
+    tiny-table intensity gather (XLA lowers it as a lane-padded one-hot dot —
+    a (33M, 8) one-hot measured 15.8 GB padded) must stay chunk-sized."""
+    r = origin.shape[0]
+    if r > _PROBE_CHUNK:
+        rc = _PROBE_CHUNK
+        rpad = (-r) % rc
+        if rpad:
+            padr = lambda a: jnp.concatenate(
+                [a, jnp.broadcast_to(a[-1:], (rpad,) + a.shape[1:])], axis=0)
+            origin, direction = padr(origin), padr(direction)
+        nch = (r + rpad) // rc
+        out = jax.lax.map(
+            lambda args: light_probe(em, *args),
+            (origin.reshape(nch, rc, 3), direction.reshape(nch, rc, 3)),
+        )
+        return out.reshape(-1)[:r]
+    res = intersect.intersect_dense(
+        origin, direction, em["p0"], em["e1"], em["e2"]
     )
-    t = jnp.where(hit, t, intersect.T_MAX)
-    arg = jnp.argmin(t, axis=-1)
-    tmin = jnp.take_along_axis(t, arg[:, None], axis=-1)[:, 0]
-    inten = em["intensity"][arg]
-    return jnp.where(tmin < intersect.T_MAX, inten, 0.0)
+    hit = res["tri"] >= 0
+    return jnp.where(hit, em["intensity"][jnp.maximum(res["tri"], 0)], 0.0)
 
 
-def light_probe_batch(em: dict, origin: jnp.ndarray, directions: jnp.ndarray,
+def light_probe_batch(em: dict, origin: jnp.ndarray, dir_planes,
                       active: jnp.ndarray) -> jnp.ndarray:
-    """All K candidates in ONE launch: origin (R, 3), directions (K, R, 3),
-    active (K, R) -> intensities (K, R). Packet path when the emissive set
-    ships a ClusterSet (big scenes, TPU), dense Möller-Trumbore otherwise."""
-    k, r = directions.shape[:2]
+    """All K candidates in ONE launch: origin (R, 3), dir_planes = 3 x (K, R)
+    direction components, active (K, R) -> intensities (K, R). Packet path
+    when the emissive set ships a ClusterSet (big scenes, TPU), dense
+    Möller-Trumbore otherwise.
+
+    Directions travel as component planes, not (K, R, 3): a trailing length-3
+    lane dim invites 42x-padded XLA layouts/remat copies at frame scale (a
+    (K, R, 8) remat copy measured a 14.8 GB padding overhead at 1080p)."""
+    dx, dy, dz = dir_planes
+    k, r = dx.shape
+    d_flat = jnp.stack([dx.reshape(-1), dy.reshape(-1), dz.reshape(-1)], axis=1)
+    o_flat = jnp.broadcast_to(origin[None], (k, r, 3)).reshape(k * r, 3)
     if "clusters" in em:
         from nrdsample_tpu.ops.packet import closest_hit_packet
 
-        o_flat = jnp.broadcast_to(origin[None], (k, r, 3)).reshape(k * r, 3)
-        d_flat = directions.reshape(k * r, 3)
         # inactive candidates still trace (static shape); masked after
         res = closest_hit_packet(em["clusters"], o_flat, d_flat,
                                  sort=True, need_uv=False)
         hit = res["tri"] >= 0
         li = jnp.where(hit, em["cl_lum"][jnp.maximum(res["tri"], 0)], 0.0)
         return li.reshape(k, r) * active
-    li = jax.vmap(lambda d: light_probe(em, origin, d))(directions)
-    return li * active
+    li = light_probe(em, o_flat, d_flat)
+    return li.reshape(k, r) * active
 
 
 def reservoir_sample_direction(props: dict, em: dict, is_diffuse: jnp.ndarray,
@@ -152,22 +176,29 @@ def reservoir_sample_direction(props: dict, em: dict, is_diffuse: jnp.ndarray,
         k_spec = jnp.ceil(n_candidates * jnp.clip(spec_k_scale, 0.0, 1.0))
         k_eff = jnp.where(is_diffuse, k_eff, jnp.maximum(k_spec, 1.0))
 
-    # ---- phase 1: ALL candidate directions, vectorized over k ----
+    # ---- phase 1: ALL candidate directions, vectorized over k. Everything
+    # (K, R)-shaped travels as COMPONENT PLANES — a (K, R, 3) array invites
+    # lane-padded XLA layouts at frame scale (see light_probe_batch) ----
     ks = jnp.arange(n_candidates, dtype=jnp.int32)
 
-    def gen(k):
+    def gen(_, k):
         rnd = rng.uniform2(pixel_idx, frame, dim + 3 * k)
         cand_diff = sampling.cosine_ray(rnd)
         h = sampling.vndf_ggx(rnd, v_local, props["roughness"], trim)
         cand_spec = geo.reflect(-v_local, h)
-        return jnp.where(is_diffuse[..., None], cand_diff, cand_spec)
+        c = jnp.where(is_diffuse[..., None], cand_diff, cand_spec)
+        w = sampling.to_world(c, n)
+        return None, (c[..., 0], c[..., 1], c[..., 2],
+                      w[..., 0], w[..., 1], w[..., 2])
 
-    cands = jax.vmap(gen)(ks)                                   # (K, R, 3)
-    cands_world = jax.vmap(lambda c: sampling.to_world(c, n))(cands)
+    # scan (not vmap): per-k intermediates stay (R,)-sized — vmapped
+    # generation left (K, R, 4..8) temporaries that XLA remat materialized
+    # with a lane-padded layout (14.8 GB overhead at 1080p)
+    _, (cx, cy, cz, wx, wy, wz) = jax.lax.scan(gen, None, ks)   # 6 x (K, R)
     active = (ks[:, None] < k_eff[None, :]).astype(x.dtype)     # (K, R)
 
     # ---- phase 2: ONE batched light probe ----
-    li_all = light_probe_batch(em, origin, cands_world, active)  # (K, R)
+    li_all = light_probe_batch(em, origin, (wx, wy, wz), active)  # (K, R)
 
     # ---- phase 3: reservoir fold over precomputed intensities (cheap) ----
     sum_i = jnp.zeros(x.shape[:-1])
@@ -176,7 +207,8 @@ def reservoir_sample_direction(props: dict, em: dict, is_diffuse: jnp.ndarray,
 
     def body(carry, inp):
         sum_i, chosen_i, ray_local = carry
-        k, li, cand = inp
+        k, li, ccx, ccy, ccz = inp
+        cand = jnp.stack([ccx, ccy, ccz], axis=-1)
         sum_i = sum_i + li
         take_rnd = rng.uniform1(pixel_idx, frame, dim + 3 * k + 2)
         take = (li > 0.0) & (take_rnd < li / jnp.maximum(sum_i, 1e-9))
@@ -185,7 +217,7 @@ def reservoir_sample_direction(props: dict, em: dict, is_diffuse: jnp.ndarray,
         return (sum_i, chosen_i, ray_local), None
 
     (sum_i, chosen_i, ray_local), _ = jax.lax.scan(
-        body, (sum_i, chosen_i, ray_local), (ks, li_all, cands),
+        body, (sum_i, chosen_i, ray_local), (ks, li_all, cx, cy, cz),
     )
 
     mult = sum_i / (chosen_i * jnp.maximum(k_eff, 1.0))

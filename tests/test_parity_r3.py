@@ -179,7 +179,8 @@ class TestEmissiveScale:
         d /= np.linalg.norm(d, axis=-1, keepdims=True)
         d = jnp.asarray(d)
         act = jnp.ones((k, r), jnp.float32)
-        batched = emissive_is.light_probe_batch(em, o, d, act)
+        batched = emissive_is.light_probe_batch(
+            em, o, (d[..., 0], d[..., 1], d[..., 2]), act)
         seq = jnp.stack([emissive_is.light_probe(em, o, d[i])
                          for i in range(k)])
         np.testing.assert_array_equal(np.asarray(batched), np.asarray(seq))

@@ -29,7 +29,8 @@ def main():
     d = jnp.asarray(d)
     act = jnp.ones((k, r), jnp.float32)
 
-    lp = jax.jit(lambda o, d: emissive_is.light_probe_batch(em, o, d, act))
+    lp = jax.jit(lambda o, d: emissive_is.light_probe_batch(
+        em, o, (d[..., 0], d[..., 1], d[..., 2]), act))
     li_pkt = jax.block_until_ready(lp(o, d))
 
     # dense oracle on a subset (full dense at E=4096 x 65k is affordable once)
