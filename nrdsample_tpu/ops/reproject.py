@@ -94,6 +94,15 @@ def reproject_bounded(img: jnp.ndarray, pos: jnp.ndarray,
 
     assert (2 * d) % 8 == 0, "DMA row extent (band + 2d) must be 8-aligned"
     band = min(_BAND, h)
+    # the double-buffered output window ((2d+1) passes x C channels x band x W)
+    # plus the input scratch must fit VMEM: at 1440p/10ch/d=8 a 32-row band is
+    # 111 MB -> OOM; shrink in 8-row steps (8 is the sublane tile)
+    w128 = -(-w // 128) * 128
+    budget = 56 << 20
+    while band > 8 and (
+        (2 * d + 1) * c * band * w * 4 * 2 + c * (band + 2 * d) * w128 * 4
+    ) > budget:
+        band -= 8
     pad_h = (-h) % band
     if pad_h:
         img = jnp.pad(img, ((0, pad_h), (0, 0), (0, 0)), mode="edge")
