@@ -567,6 +567,38 @@ def _one_packet_stream(p, c, order_smem, keys_ref,
 _CID_BITS = 14  # cluster-id payload bits in the packed sort key (<= 16384 clusters)
 
 
+# below this row width the packed worklist sort runs as a dense rank sort
+# (O(C^2) VPU work, no XLA sort emitter) — jnp.sort on a (2048, 104) int32
+# matrix measured 3.2 ms on v5e (the sort emitter dominates stage 1), the
+# rank sort's compare-matrix + one-hot reduction is plain elementwise work
+_RANK_SORT_MAX_C = 512
+# live-memory cap for the (chunk, c, c) compare matrix (fusion into the
+# rank reduction is not guaranteed at frame-sized nb — same failure mode as
+# the stage-1 entry matrix, see _STAGE1_BYTES_BUDGET)
+_RANK_SORT_BYTES_BUDGET = 128 << 20
+
+
+def _rank_sort_rows(packed):
+    """Row-wise ascending sort of (nb, c) int32 rows of UNIQUE non-negative
+    values (the packed worklist keys: float bits | cid — cids make rows
+    unique). rank[b,k] = #values below packed[b,k]; the sorted row is the
+    one-hot placement sum. All dense VPU work, O(c^2) per row, chunked over
+    rows to bound the live compare matrix."""
+    nb, c = packed.shape
+
+    def one(rows):
+        less = rows[:, None, :] < rows[:, :, None]     # (chunk, k, m)
+        rank = jnp.sum(less.astype(jnp.int32), axis=-1)  # a permutation
+        j = jax.lax.broadcasted_iota(jnp.int32, rank.shape + (c,), 2)
+        sel = rank[:, :, None] == j                    # (chunk, k, j)
+        return jnp.sum(jnp.where(sel, rows[:, :, None], 0), axis=1)
+
+    if nb * c * c * 4 <= _RANK_SORT_BYTES_BUDGET:
+        return one(packed)
+    chunk = max(1, _RANK_SORT_BYTES_BUDGET // (c * c * 4))
+    return jax.lax.map(one, packed, batch_size=min(chunk, nb))
+
+
 def _sort_worklists(key, hit):
     """(order, keys_sorted, count) from per-block keys via ONE int32 sort.
 
@@ -590,7 +622,9 @@ def _sort_worklists(key, hit):
     # float bits are order-preserving for non-negative floats
     bits = jax.lax.bitcast_convert_type(key, jnp.int32)
     cid = jax.lax.broadcasted_iota(jnp.int32, key.shape, 1)
-    packed = jnp.sort((bits & ~mask) | cid, axis=1)
+    packed = (bits & ~mask) | cid
+    packed = (_rank_sort_rows(packed) if c <= _RANK_SORT_MAX_C
+              else jnp.sort(packed, axis=1))
     order = packed & mask
     keys_sorted = jax.lax.bitcast_convert_type(packed & ~mask, jnp.float32)
     return order, keys_sorted, jnp.sum(hit, axis=1).astype(jnp.int32)
