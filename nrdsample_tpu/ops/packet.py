@@ -572,9 +572,12 @@ _CID_BITS = 14  # cluster-id payload bits in the packed sort key (<= 16384 clust
 # matrix measured 3.2 ms on v5e (the sort emitter dominates stage 1), the
 # rank sort's compare-matrix + one-hot reduction is plain elementwise work
 _RANK_SORT_MAX_C = 512
-# live-memory cap for the (chunk, c, c) compare matrix (fusion into the
+# live-memory cap for the (chunk, c, c) intermediates (fusion into the
 # rank reduction is not guaranteed at frame-sized nb — same failure mode as
-# the stage-1 entry matrix, see _STAGE1_BYTES_BUDGET)
+# the stage-1 entry matrix, see _STAGE1_BYTES_BUDGET). Worst case ~4 such
+# buffers may be live at once if XLA fuses nothing (bool compare, int32
+# cast, bool select, masked product), so the estimate below carries a 4x
+# multiplier rather than counting just the compare matrix.
 _RANK_SORT_BYTES_BUDGET = 128 << 20
 
 
@@ -593,10 +596,20 @@ def _rank_sort_rows(packed):
         sel = rank[:, :, None] == j                    # (chunk, k, j)
         return jnp.sum(jnp.where(sel, rows[:, :, None], 0), axis=1)
 
-    if nb * c * c * 4 <= _RANK_SORT_BYTES_BUDGET:
+    def one_row(row):
+        # per-row variant for lax.map(batch_size=...): lax.map applies its
+        # function ELEMENTWISE (each call sees one (c,) row; batch_size only
+        # sizes the internal vmap), so this must index 1-D, not (chunk, c)
+        less = row[None, :] < row[:, None]             # (k, m)
+        rank = jnp.sum(less.astype(jnp.int32), axis=-1)
+        j = jax.lax.broadcasted_iota(jnp.int32, (c, c), 1)
+        sel = rank[:, None] == j                       # (k, j)
+        return jnp.sum(jnp.where(sel, row[:, None], 0), axis=0)
+
+    if nb * c * c * 4 * 4 <= _RANK_SORT_BYTES_BUDGET:
         return one(packed)
-    chunk = max(1, _RANK_SORT_BYTES_BUDGET // (c * c * 4))
-    return jax.lax.map(one, packed, batch_size=min(chunk, nb))
+    chunk = max(1, _RANK_SORT_BYTES_BUDGET // (c * c * 4 * 4))
+    return jax.lax.map(one_row, packed, batch_size=min(chunk, nb))
 
 
 def _sort_worklists(key, hit):

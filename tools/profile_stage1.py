@@ -56,8 +56,11 @@ def main():
     hit = bn < packet.T_MAX
     key = jnp.where(hit, bn, packet.T_MAX)
     bench('packed-sort', jax.jit(packet._sort_worklists), key, hit)
-    bench('morton-keys+argsort', jax.jit(
-        lambda o, d: jnp.argsort(packet._morton_sort_keys(o, d, cs))), o, db)
+    # divergent directions on purpose: measures the BOUNCE-ray re-bin cost
+    # (primary rays are already coherent and skip the re-sort in production)
+    bench('morton-keys+argsort (divergent bounce dirs)', jax.jit(
+        lambda o, d_div: jnp.argsort(packet._morton_sort_keys(o, d_div, cs))),
+        o, db)
 
     # full stage-1 variants
     s1_flat = jax.jit(lambda o, d: packet._block_worklists(o, d, cs, tm, 128))
