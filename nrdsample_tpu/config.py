@@ -92,6 +92,10 @@ PT_GLASS_RAY_OFFSET = 0.05  # pixels
 PT_EVIL_TWIN_LOBE_TOLERANCE = 0.005
 PT_DELTA_BOUNCES_NUM = 16
 PT_PSR_BOUNCES_NUM = 2
+# static unroll bound for the sun-shadow glass march (the reference marches
+# until translucency <= 0.01, TraceOpaque.cs.hlsl:780-798; 4 layers cover two
+# double-pane windows — beyond that 0.9^4*tint^4 is visually black anyway)
+PT_SHADOW_GLASS_LAYERS = 4
 
 # SHARC radiance-cache constants (Shared.hlsli:122-134)
 SHARC_CAPACITY = 1 << 22

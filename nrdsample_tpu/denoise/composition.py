@@ -19,9 +19,15 @@ def compose(gb: dict, diff_radiance: jnp.ndarray, spec_radiance: jnp.ndarray,
 
     Composition.cs.hlsl:58-197: direct = Ldirect*shadow + Lemi; indirect diffuse/
     specular are re-modulated by the same factors used for de-modulation in
-    TraceOpaque (:177-188), then summed.
+    TraceOpaque (:177-188), then summed. The SIGMA translucency is RGB
+    (Composition.cs.hlsl:58-64 unpacks .yzw): when the trace produced a glass
+    chroma plane, the scalar denoised shadow is re-tinted with it here.
     """
-    direct = gb["direct_lighting"] * shadow[..., None] + gb["emission"]
+    shadow_rgb = shadow[..., None]
+    tint = gb.get("shadow_tint")
+    if tint is not None and tint.ndim == shadow.ndim + 1:
+        shadow_rgb = shadow_rgb * tint
+    direct = gb["direct_lighting"] * shadow_rgb + gb["emission"]
     diff = diff_radiance * gb["diff_factor"]
     spec = spec_radiance * gb["spec_factor"]
     # PSR: indirect signals live on the virtual mirror surface; re-apply the

@@ -77,6 +77,53 @@ class History:
         return History(**kw)
 
 
+def _shadow_translucency_march(tctx, scene: Scene, cfg: RenderConfig,
+                               sxo: jnp.ndarray, sdir: jnp.ndarray):
+    """Bounded multi-layer glass march of the sun-shadow ray.
+
+    Reference semantics (TraceOpaque.cs.hlsl:780-798): walk the shadow ray
+    hit-to-hit; every transparent hit multiplies translucency by
+    lerp(0.9, 0.0, pow01(1 - NoV, 2.5)) — grazing-incidence layers block more
+    (Fresnel-ish) — and the march stops when translucency <= 0.01. The static
+    PT_SHADOW_GLASS_LAYERS unroll keeps shapes XLA-static; opaque blockers are
+    already folded in by the deferred binary-shadow launch, so this marches the
+    TRANSPARENT context only. Colored extension: each layer also multiplies by
+    the glass base-color tint (the data the reference's scalar pack drops).
+
+    Returns (trans_rgb (N,3), first_glass_t (N,)) — first_glass_t is 0 where
+    no glass layer was hit (feeds the SIGMA penumbra distance).
+    """
+    from nrdsample_tpu import config as cfgmod
+    from nrdsample_tpu.mathlib import color as color_mod, geometry as geo
+
+    n_px = sxo.shape[0]
+    f32 = cfg.dtype
+    trans = jnp.ones((n_px, 3), f32)
+    first_t = jnp.zeros((n_px,), f32)
+    dist = jnp.zeros((n_px,), f32)      # cumulative distance marched so far
+    o = sxo
+    active = jnp.ones((n_px,), bool)
+    tr = tctx.tris
+    for _ in range(cfgmod.PT_SHADOW_GLASS_LAYERS):
+        hit = traversal.closest_hit(tctx, o, sdir)
+        found = (hit["tri"] >= 0) & active
+        tri_local = jnp.maximum(hit["tri"] - tctx.tri_offset, 0)
+        n_geom = geo.normalize(geo.cross(tr.e1[tri_local], tr.e2[tri_local]))
+        nov = jnp.abs(geo.dot3(n_geom, sdir))
+        p = jnp.power(jnp.clip(1.0 - nov, 0.0, 1.0), 2.5)
+        factor = 0.9 * (1.0 - p)        # lerp(0.9, 0.0, p)
+        tint = scene.materials.base_color[tr.material[tri_local]]
+        layer = jnp.where(found[..., None], factor[..., None] * tint, 1.0)
+        trans = trans * layer
+        t = jnp.where(found, hit["t"], 0.0)
+        first_t = jnp.where(found & (first_t == 0.0), dist + t, first_t)
+        dist = dist + t
+        # advance past the layer (hitT + epsilon, TraceOpaque.cs.hlsl:797)
+        o = o + sdir * (t + 1e-3 * jnp.where(found, 1.0, 0.0))[..., None]
+        active = found & (color_mod.luminance(trans) > 0.01)
+    return trans, first_t
+
+
 def trace_frame(ctx: traversal.TraceContext, scene: Scene, cam: Camera,
                 cfg: RenderConfig, settings: Settings, history: History,
                 pixel_idx=None, dynamics=None,
@@ -135,23 +182,39 @@ def trace_frame(ctx: traversal.TraceContext, scene: Scene, cam: Camera,
             gb = stress_mod.sanitize_gbuffer(gb, cfg, settings, pidx_s)
 
     # ---- glass-aware shadow translucency (SIGMA_TRANSLUCENCY,
-    # TraceOpaque.cs.hlsl:767-804): the sun shadow ray marches through the
-    # transparent set; glass hits tint/attenuate instead of fully blocking ----
+    # TraceOpaque.cs.hlsl:767-804): the sun shadow ray marches through up to
+    # PT_SHADOW_GLASS_LAYERS transparent layers; each layer attenuates by an
+    # NoV-dependent factor x the glass tint (colored; the reference packs a
+    # gray scalar into SIGMA's RGB translucency, Composition.cs.hlsl:58-64) ----
     shadow = gb["shadow"]
     if ctxs.transparent is not None and cfg.use_translucency and "shadow_ray" in gb:
         sxo, sdir = gb["shadow_ray"]
-        g_hit = traversal.closest_hit(ctxs.transparent, sxo, sdir)
-        g_found = g_hit["tri"] >= 0
-        tri_local = jnp.maximum(g_hit["tri"] - ctxs.transparent.tri_offset, 0)
-        g_mat = ctxs.transparent.tris.material[tri_local]
-        tint = scene.materials.base_color[g_mat]
-        # Fresnel-averaged two-interface transmission estimate (~0.85) x tint
-        translucency = jnp.where(
-            g_found, 0.85 * jnp.mean(tint, axis=-1), 1.0
+        trans_rgb, glass_t = _shadow_translucency_march(
+            ctxs.transparent, scene, cfg, sxo, sdir
         )
-        shadow = shadow * jnp.where(
-            settings.disable_shadows > 0, 1.0, translucency
+        trans_rgb = jnp.where(settings.disable_shadows > 0,
+                              jnp.ones_like(trans_rgb), trans_rgb)
+        from nrdsample_tpu.mathlib import color as color_mod
+
+        lum = color_mod.luminance(trans_rgb)
+        shadow = shadow * lum
+        # chroma ratio plane (luminance-normalized tint), applied to the
+        # SIGMA-denoised scalar shadow at composition -> tinted RGB shadow
+        tint = trans_rgb / jnp.maximum(lum, 1e-6)[..., None]
+        gb["shadow_tint"] = jnp.where(
+            (lum > 1e-6)[..., None], tint, jnp.ones_like(tint)
         )
+        # the closest glass layer participates in the SIGMA penumbra estimate
+        # exactly like an opaque blocker (shadowHitDist accumulation,
+        # TraceOpaque.cs.hlsl:785-788)
+        if "shadow_hit_dist" in gb:
+            hd = gb["shadow_hit_dist"]
+            glass_t = jnp.where(settings.disable_shadows > 0, 0.0, glass_t)
+            gb["shadow_hit_dist"] = jnp.where(
+                glass_t > 0.0,
+                jnp.where(hd > 0.0, jnp.minimum(hd, glass_t), glass_t),
+                hd,
+            )
     gb = dict(gb, shadow=shadow)
     gb.pop("shadow_ray", None)
 
