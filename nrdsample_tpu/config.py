@@ -92,6 +92,9 @@ PT_GLASS_RAY_OFFSET = 0.05  # pixels
 PT_EVIL_TWIN_LOBE_TOLERANCE = 0.005
 PT_DELTA_BOUNCES_NUM = 16
 PT_PSR_BOUNCES_NUM = 2
+# hitT normalization scale for the SHARC-gradient dynamic-object
+# indirect-shadow heuristic (gHitDistSettings.x, SharcUpdate.cs.hlsl:187)
+SHARC_GRADIENT_HITDIST_SCALE = 3.0
 # static unroll bound for the sun-shadow glass march (the reference marches
 # until translucency <= 0.01, TraceOpaque.cs.hlsl:780-798; 4 layers cover two
 # double-pane windows — beyond that 0.9^4*tint^4 is visually black anyway)
@@ -162,6 +165,9 @@ class RenderConfig:
     use_sharc: bool = False
     sharc_capacity: int = SHARC_CAPACITY
     sharc_downscale: int = SHARC_DOWNSCALE
+    sharc_full_mode: bool = True      # FULL through-glass probe pass
+                                      # (SharcUpdate.cs.hlsl:46,232); only
+                                      # active when the scene has glass
     use_l1_cache: bool = False   # prev-frame screen-space irradiance reprojection
     use_confidence: bool = False  # SHARC-probe gradient -> history confidence
                                   # (needs use_sharc; ConfidenceBlur pipeline)

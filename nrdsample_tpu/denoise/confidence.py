@@ -44,8 +44,15 @@ def gradient_from_probes(hist: ConfidenceHistory, probes: dict):
     change. Z-occlusion rejection (:242-246) zeroes the gradient where the
     retraced primary depth no longer matches the stored one (camera motion /
     occlusion, not lighting). Falls back to the re-jittered diff
-    |L_now - L_prev| when no retrace is provided."""
-    lum_curr = color.luminance(probes["radiance"])
+    |L_now - L_prev| when no retrace is provided.
+
+    probes["grad_lum"], when present, is the gradient luminance INCLUDING the
+    dynamic-object indirect-shadow term (SharcUpdate.cs.hlsl:181-193), so
+    moving occluders register as lighting change even though their shadows are
+    noisy."""
+    lum_curr = probes.get("grad_lum")
+    if lum_curr is None:
+        lum_curr = color.luminance(probes["radiance"])
     if "prev_retrace_lum" in probes:
         grad = jnp.abs(probes["prev_retrace_lum"] - hist.probe_lum)
         rel = jnp.abs(probes["prev_retrace_vz"] - hist.view_z) / jnp.maximum(

@@ -155,7 +155,7 @@ def trace_frame(ctx: traversal.TraceContext, scene: Scene, cam: Camera,
         from nrdsample_tpu.render import sharc_update
 
         sharc_state, probes = sharc_update.sharc_update_pass(
-            ctxs.opaque, scene, cam, cfg, settings, frame, sharc_state,
+            ctxs, scene, cam, cfg, settings, frame, sharc_state,
             probe_axis=probe_axis,
         )
 

@@ -26,9 +26,60 @@ from nrdsample_tpu.scene import camera as cam_mod
 from nrdsample_tpu.scene.types import Camera, Scene
 
 
-def _trace_probe_paths(ctx: traversal.TraceContext, scene: Scene, cam: Camera,
+def _delta_walk(ctxs: traversal.SceneContexts, scene: Scene, origin, direction,
+                pixel_idx, frame, delta_bounces: int):
+    """FULL-mode prologue: jump the probe ray through glass delta events
+    (SharcUpdate.cs.hlsl:41-69) so the cache populates BEHIND/THROUGH glass.
+    Fresnel-driven reflect/refract per layer; lanes that never meet glass keep
+    their original ray. Returns (origin, direction) of the post-glass ray."""
+    from nrdsample_tpu.render.trace_transparent import _fresnel_dielectric
+
+    tctx = ctxs.transparent
+    tr = tctx.tris
+    o, d = origin, direction
+    inside = jnp.zeros(origin.shape[:1], bool)
+    active = jnp.ones(origin.shape[:1], bool)
+
+    def body(carry, bounce):
+        o, d, inside, active = carry
+        hit_t = traversal.closest_hit(tctx, o, d)
+        hit_o = traversal.closest_hit(ctxs.opaque, o, d)
+        glass = (hit_t["tri"] >= 0) & (hit_t["t"] < hit_o["t"]) & active
+        tri_local = jnp.maximum(hit_t["tri"] - tctx.tri_offset, 0)
+        n_geom = geo.normalize(geo.cross(tr.e1[tri_local], tr.e2[tri_local]))
+        # orient against the ray
+        n_geom = jnp.where(geo.dot3(n_geom, d)[..., None] > 0, -n_geom, n_geom)
+        ior = scene.materials.ior[tr.material[tri_local]]
+        eta = jnp.where(inside, 1.0 / ior, ior)
+        cos_i = jnp.abs(geo.dot3(d, n_geom))
+        f = _fresnel_dielectric(cos_i, eta)
+        rnd = rng.uniform1(pixel_idx, frame, 820_000 + 1000 * bounce)
+        reflect_now = rnd < f
+        ray_refl = geo.reflect(d, n_geom)
+        ray_refr = geo.refract(d, n_geom, 1.0 / jnp.maximum(eta, 1e-6))
+        tir = geo.length(ray_refr) < 0.5
+        reflect_now = reflect_now | tir
+        new_d = jnp.where(reflect_now[..., None], ray_refl,
+                          geo.normalize(ray_refr))
+        x = o + d * hit_t["t"][..., None]
+        s = jnp.where(geo.dot3(new_d, n_geom) >= 0, 1.0, -1.0)
+        new_o = x + n_geom * (s * 1e-4)[..., None]
+        new_inside = jnp.where(glass & jnp.logical_not(reflect_now),
+                               jnp.logical_not(inside), inside)
+        o = jnp.where(glass[..., None], new_o, o)
+        d = jnp.where(glass[..., None], new_d, d)
+        return (o, d, new_inside, glass), None
+
+    (o, d, _, _), _ = jax.lax.scan(
+        body, (o, d, inside, active),
+        jnp.arange(delta_bounces, dtype=jnp.int32),
+    )
+    return o, d
+
+
+def _trace_probe_paths(ctxs, scene: Scene, cam: Camera,
                        cfg: RenderConfig, settings: Settings, frame,
-                       sidx=None):
+                       sidx=None, mode: str = "curr"):
     """Trace the 1/ds-res probe paths for frame index `frame` with THAT
     frame's RNG streams and camera matrices. Pure function of (scene, cam,
     settings, frame) — re-invoking it with a PREVIOUS frame index replays the
@@ -40,8 +91,18 @@ def _trace_probe_paths(ctx: traversal.TraceContext, scene: Scene, cam: Camera,
     traces its own contiguous probe slice (sharc_update_pass gathers the
     results back to the full grid). Default: the whole grid.
 
+    mode: "curr" = opaque primary (SharcUpdate's CURR/PREV); "full" = jump
+    through glass delta events first (SharcUpdate.cs.hlsl:46: FULL traces
+    PT_DELTA_BOUNCES_NUM delta events so the cache reaches through glass).
+
     Returns (first_l (m,3), probe_vz (m,), probe_n (m,3),
-    verts (depth, m, ...) stacked per-vertex records pre-flatten)."""
+    verts (depth, m, ...) stacked per-vertex records pre-flatten,
+    grad_lum (m,) gradient luminance incl. the dynamic-object term)."""
+    ctxs = (
+        ctxs if isinstance(ctxs, traversal.SceneContexts)
+        else traversal.SceneContexts(ctxs, None)
+    )
+    ctx = ctxs.opaque
     ds = cfg.sharc_downscale
     sw, sh = max(cfg.width // ds, 1), max(cfg.height // ds, 1)
     n_px = sw * sh
@@ -66,6 +127,11 @@ def _trace_probe_paths(ctx: traversal.TraceContext, scene: Scene, cam: Camera,
     origin, direction, _ = cam_mod.camera_rays(
         cam, cfg.width, cfg.height, pixel_idx, frame, sample_dim=7
     )
+    if mode == "full" and ctxs.transparent is not None:
+        origin, direction = _delta_walk(
+            ctxs, scene, origin, direction, pixel_idx, frame,
+            cfg.delta_bounce_num,
+        )
 
     hit = traversal.closest_hit(ctx, origin, direction)
     props = gbuffer.decode_hit(
@@ -79,9 +145,16 @@ def _trace_probe_paths(ctx: traversal.TraceContext, scene: Scene, cam: Camera,
     probe_n = props["n"]
 
     # propagation as lax.scan (compile-cost: one traced bounce body), stacking
-    # per-vertex records; the backward suffix sweep is a reverse scan
+    # per-vertex records; the backward suffix sweep is a reverse scan.
+    # grad_extra/path_w: the dynamic-object indirect-shadow term for the
+    # history-confidence gradient (SharcUpdate.cs.hlsl:181-193) — lighting is
+    # too noisy to catch moving shadow casters, so the hitT of a
+    # static-origin -> dynamic-hit segment is converted into a pseudo-lighting
+    # term that changes when the dynamic object moves.
+    exposure = jnp.maximum(settings.exposure * 1e-2, 1e-3)
+
     def fwd_body(carry, bounce):
-        props, alive = carry
+        props, alive, grad_extra, path_w = carry
         dim = 800_000 + 1000 * bounce
         # direct lighting at this vertex
         view_z = cam_mod.world_to_view_z(cam, props["x"])
@@ -105,6 +178,7 @@ def _trace_probe_paths(ctx: traversal.TraceContext, scene: Scene, cam: Camera,
 
         vert = {"x": props["x"], "n": props["n"], "l": l_direct, "w": seg_w,
                 "alive": alive}
+        static_origin = (props["flags"] & cfgmod.FLAG_STATIC) != 0
 
         xo = geo.offset_ray(
             props["x"], props["n_geom"], view_z, unproject, cfgmod.PT_BOUNCE_RAY_OFFSET
@@ -115,12 +189,25 @@ def _trace_probe_paths(ctx: traversal.TraceContext, scene: Scene, cam: Camera,
             settings.emission_intensity,
             forced_material=settings.forced_material,
         )
+        # dynamic-object heuristic: static origin, dynamic hit -> inject an
+        # AO-style hitT term (exposure-independent, SharcUpdate.cs.hlsl:187-190)
+        dyn_hit = ((props["flags"] & cfgmod.FLAG_STATIC) == 0) & jnp.logical_not(
+            props["miss"]
+        )
+        ao = jnp.sqrt(jnp.clip(
+            props["t"] / cfgmod.SHARC_GRADIENT_HITDIST_SCALE, 0.0, 1.0
+        ))
+        term = (1.0 - ao) * jnp.where(static_origin & dyn_hit & alive, 1.0, 0.0)
+        grad_extra = grad_extra + term * path_w * 25.0 / exposure
+        path_w = path_w * color.luminance(seg_w)
         alive = alive & jnp.logical_not(props["miss"])
-        return (props, alive), vert
+        return (props, alive, grad_extra, path_w), vert
 
     depth = cfgmod.SHARC_PROPAGATION_DEPTH
-    (props, alive), verts = jax.lax.scan(
-        fwd_body, (props, alive), jnp.arange(depth, dtype=jnp.int32)
+    zero = jnp.zeros(origin.shape[:1], cfg.dtype)
+    (props, alive, grad_extra, _), verts = jax.lax.scan(
+        fwd_body, (props, alive, zero, zero + 1.0),
+        jnp.arange(depth, dtype=jnp.int32),
     )
 
     # tail: sky/emission seen by the last segment
@@ -138,7 +225,8 @@ def _trace_probe_paths(ctx: traversal.TraceContext, scene: Scene, cam: Camera,
     first_l = l_heres[0]  # suffix radiance at the FIRST path vertex
     stacked = {"x": verts["x"], "n": verts["n"], "l": l_heres,
                "alive": verts["alive"]}
-    return first_l, probe_vz, probe_n, stacked
+    grad_lum = color.luminance(first_l) + grad_extra
+    return first_l, probe_vz, probe_n, stacked, grad_lum
 
 
 def _rev_flat(a):
@@ -167,9 +255,19 @@ def sharc_update_pass(ctx: traversal.TraceContext, scene: Scene, cam: Camera,
     probe id, and the gather restores canonical order before the scatter), so
     the table/probe planes stay replicated while the TRACE work — the
     expensive part — shards with the pixels. Without this the probe pass was
-    replicated-compute on every device (round-2 review weak #9)."""
+    replicated-compute on every device (round-2 review weak #9).
+
+    With cfg.sharc_full_mode and a transparent context, a SECOND probe trace
+    jumps through glass delta events before landing (FULL mode,
+    SharcUpdate.cs.hlsl:46,232) and its vertices join the same cache scatter —
+    this is what populates the L2 cache behind/through glass. FULL contributes
+    no gradient (the reference discards FULL's return, :232)."""
     import dataclasses as dc
 
+    ctxs = (
+        ctx if isinstance(ctx, traversal.SceneContexts)
+        else traversal.SceneContexts(ctx, None)
+    )
     ds = cfg.sharc_downscale
     sw, sh = max(cfg.width // ds, 1), max(cfg.height // ds, 1)
     n_px = sw * sh
@@ -194,21 +292,28 @@ def sharc_update_pass(ctx: traversal.TraceContext, scene: Scene, cam: Camera,
         def gather_full(a, axis):
             return a
 
-    def trace_full(cam_t, frame_t):
-        first_l, probe_vz, probe_n, stacked = _trace_probe_paths(
-            ctx, scene, cam_t, cfg, settings, frame_t, sidx=sidx
+    def trace_full(cam_t, frame_t, mode="curr"):
+        first_l, probe_vz, probe_n, stacked, grad_lum = _trace_probe_paths(
+            ctxs, scene, cam_t, cfg, settings, frame_t, sidx=sidx, mode=mode
         )
         if valid is not None:
             stacked = dict(stacked, alive=stacked["alive"] & valid[None, :])
         first_l = gather_full(first_l, 0)
         probe_vz = gather_full(probe_vz, 0)
         probe_n = gather_full(probe_n, 0)
+        grad_lum = gather_full(grad_lum, 0)
         stacked = {k: gather_full(v, 1) for k, v in stacked.items()}
-        return first_l, probe_vz, probe_n, stacked
+        return first_l, probe_vz, probe_n, stacked, grad_lum
 
-    first_l, probe_vz, probe_n, stacked = trace_full(cam, frame)
+    first_l, probe_vz, probe_n, stacked, grad_lum = trace_full(cam, frame)
     xs, ns = _rev_flat(stacked["x"]), _rev_flat(stacked["n"])
     ls, ms = _rev_flat(stacked["l"]), _rev_flat(stacked["alive"])
+    if cfg.sharc_full_mode and ctxs.transparent is not None:
+        _, _, _, stacked_f, _ = trace_full(cam, frame, mode="full")
+        xs = jnp.concatenate([xs, _rev_flat(stacked_f["x"])], axis=0)
+        ns = jnp.concatenate([ns, _rev_flat(stacked_f["n"])], axis=0)
+        ls = jnp.concatenate([ls, _rev_flat(stacked_f["l"])], axis=0)
+        ms = jnp.concatenate([ms, _rev_flat(stacked_f["alive"])], axis=0)
     # LOD transition dithering on the WRITE side too, so both rings near a
     # level boundary stay populated for the dithered queries
     lod_dither = rng.uniform1(jnp.arange(xs.shape[0], dtype=jnp.int32), frame, 800_077)
@@ -218,9 +323,11 @@ def sharc_update_pass(ctx: traversal.TraceContext, scene: Scene, cam: Camera,
     # probe "small G-buffer" for the history-confidence gradient
     # (SharcUpdate.cs.hlsl:104-107 luminance+normal+viewZ store; the gradient
     # consumer is denoise/confidence.py): first-vertex suffix radiance +
-    # primary viewZ/normal at probe resolution
+    # primary viewZ/normal at probe resolution. grad_lum additionally carries
+    # the dynamic-object indirect-shadow term (:181-193).
     probes = {
         "radiance": first_l.reshape(sh, sw, 3),
+        "grad_lum": grad_lum.reshape(sh, sw),
         "view_z": probe_vz.reshape(sh, sw),
         "normal": probe_n.reshape(sh, sw, 3),
     }
@@ -228,9 +335,7 @@ def sharc_update_pass(ctx: traversal.TraceContext, scene: Scene, cam: Camera,
         prev_cam = dc.replace(
             cam, view_to_world=cam.view_to_world_prev, jitter=cam.jitter_prev
         )
-        prev_l, prev_vz, _, _ = trace_full(prev_cam, frame - 1)
-        from nrdsample_tpu.mathlib import color
-
-        probes["prev_retrace_lum"] = color.luminance(prev_l).reshape(sh, sw)
+        _, prev_vz, _, _, prev_grad_lum = trace_full(prev_cam, frame - 1)
+        probes["prev_retrace_lum"] = prev_grad_lum.reshape(sh, sw)
         probes["prev_retrace_vz"] = prev_vz.reshape(sh, sw)
     return sharc.resolve(state, frame), probes

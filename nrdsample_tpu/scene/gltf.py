@@ -216,7 +216,10 @@ def load_gltf(path: str, max_emissive: int | None = None, load_textures: bool = 
             "KHR_materials_transmission" in m.get("extensions", {})
             or m.get("alphaMode") == "BLEND"
         )
-        fl = config.FLAG_TRANSPARENT if transmissive else config.FLAG_NON_TRANSPARENT
+        # glTF scene geometry is static scenery (animated instances are
+        # synthesized separately without FLAG_STATIC)
+        fl = (config.FLAG_TRANSPARENT if transmissive
+              else config.FLAG_NON_TRANSPARENT) | config.FLAG_STATIC
         if m.get("alphaMode") == "MASK":
             # alpha-tested foliage etc -> any-hit alpha test
             fl |= config.FLAG_ALPHA_TEST
@@ -228,7 +231,7 @@ def load_gltf(path: str, max_emissive: int | None = None, load_textures: bool = 
         flags.append(fl)
     if not mats:
         base_color, metalness, roughness = [[0.8, 0.8, 0.8]], [0.0], [0.9]
-        emission, ior, flags = [[0, 0, 0]], [1.5], [config.FLAG_NON_TRANSPARENT]
+        emission, ior, flags = [[0, 0, 0]], [1.5], [config.FLAG_NON_TRANSPARENT | config.FLAG_STATIC]
 
     # walk node hierarchy to gather world-transformed primitives
     all_v, all_n, all_uv, all_i, all_m = [], [], [], [], []

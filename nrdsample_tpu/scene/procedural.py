@@ -128,8 +128,14 @@ def _assemble(parts, materials_dict, max_emissive=None):
         roughness=np.asarray(np.array(m["roughness"], np.float32)),
         emission=np.asarray(np.array(m["emission"], np.float32)),
         ior=np.asarray(np.array(m.get("ior", [1.5] * len(m["metalness"])), np.float32)),
+        # procedural geometry is static scenery (glTF-loaded geometry in the
+        # reference carries FLAG_STATIC; animated instances don't,
+        # NRDSample.cpp:3395-3630) — the SHARC dynamic-object gradient
+        # heuristic keys off this bit
         flags=np.asarray(np.array(
-            m.get("flags", [config.FLAG_NON_TRANSPARENT] * len(m["metalness"])), np.int32)),
+            m.get("flags",
+                  [config.FLAG_NON_TRANSPARENT | config.FLAG_STATIC]
+                  * len(m["metalness"])), np.int32)),
     )
     return make_scene(tris, mats, max_emissive=max_emissive)
 
