@@ -161,6 +161,9 @@ class RenderConfig:
     tracing_mode: TracingMode = TracingMode.FULL_PROBABILISTIC
     on_screen: OnScreen = OnScreen.FINAL   # debug visualization (gOnScreen)
     use_importance_sampling: bool = True
+    use_blue_noise: bool = True       # USE_BLUE_NOISE_FOR_SHADOWS
+                                      # (Shared.hlsli:25; auto-off under
+                                      # REFERENCE accumulation like the ref)
     importance_samples: int = PT_IMPORTANCE_SAMPLES_NUM
     use_sharc: bool = False
     sharc_capacity: int = SHARC_CAPACITY

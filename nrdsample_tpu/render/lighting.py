@@ -130,11 +130,17 @@ def direct_sun_lighting(n, v, base_color, metalness, roughness, sun_dir,
 
 
 def sun_shadow_ray_params(x, n, sun_dir, tan_angular_radius,
-                          pixel_idx, frame, unproject, view_z, dim: int = 7000):
+                          pixel_idx, frame, unproject, view_z, dim: int = 7000,
+                          rnd=None):
     """Jittered sun-cone visibility ray (origin, direction) — the ray setup of
     GetLighting's SHADOW part (RaytracingShared.hlsli:675-687), split out so
-    callers can BATCH shadow rays with bounce rays into one traversal launch."""
-    rnd = rng.uniform2(pixel_idx, frame, dim)
+    callers can BATCH shadow rays with bounce rays into one traversal launch.
+
+    rnd: optional (n, 2) disc sample override — trace_opaque passes blue noise
+    here when USE_BLUE_NOISE_FOR_SHADOWS applies (TraceOpaque.cs.hlsl:767-770);
+    default is the white PCG stream."""
+    if rnd is None:
+        rnd = rng.uniform2(pixel_idx, frame, dim)
     disk = sampling.cosine_ray(rnd)[..., :2] * tan_angular_radius
     bx, by = sun_basis(sun_dir)
     sdir = geo.normalize(

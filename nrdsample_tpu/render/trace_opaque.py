@@ -18,12 +18,25 @@ import jax
 import jax.numpy as jnp
 
 from nrdsample_tpu import config as cfgmod
-from nrdsample_tpu.config import RenderConfig, Settings, TracingMode
+from nrdsample_tpu.config import Denoiser, RenderConfig, Settings, TracingMode
 from nrdsample_tpu.mathlib import brdf, color, geometry as geo, rng, sampling
 from nrdsample_tpu.ops import traversal
 from nrdsample_tpu.render import gbuffer, lighting
 from nrdsample_tpu.scene import camera as cam_mod
 from nrdsample_tpu.scene.types import Camera, Scene
+
+
+def _shadow_rnd(cfg: RenderConfig, pixel_idx, frame, dim: int):
+    """USE_BLUE_NOISE_FOR_SHADOWS (Shared.hlsli:25, "a must have for SIGMA"):
+    blue-noise disc sample for the sun-shadow cone. Returns None (= default
+    white PCG stream) under REFERENCE accumulation, matching the reference's
+    gate — temporal accumulation wants an equidistributed per-pixel sequence,
+    not a spatially-shaped one."""
+    if not cfg.use_blue_noise or cfg.denoiser == Denoiser.REFERENCE:
+        return None
+    from nrdsample_tpu.mathlib import bluenoise
+
+    return bluenoise.blue2(pixel_idx, cfg.width, frame, dim)
 
 
 def estimate_diffuse_probability(props: dict, use_magic_boost: bool = False):
@@ -306,6 +319,7 @@ def trace_paths(ctx: traversal.TraceContext, scene: Scene, cam: Camera,
             sxo, sdir = lighting.sun_shadow_ray_params(
                 props["x"], props["n_geom"], sun_dir, tan_sun,
                 pixel_idx, frame, unproject, view_z_b, dim=dim_base + 5,
+                rnd=_shadow_rnd(cfg, pixel_idx, frame, dim_base + 5),
             )
             l_hit0 = props["lemi"]                      # shadow = 0
             l_hit1 = direct + props["lemi"]             # shadow = 1
@@ -678,7 +692,7 @@ def trace_opaque(ctx: traversal.TraceContext, scene: Scene, cam: Camera,
     # The visibility ray itself joins trace_paths' single batched launch.
     p_sxo, p_sdir = lighting.sun_shadow_ray_params(
         props["x"], props["n_geom"], sun_dir, tan_sun, pixel_idx, frame,
-        unproject, view_z, dim=501,
+        unproject, view_z, dim=501, rnd=_shadow_rnd(cfg, pixel_idx, frame, 501),
     )
 
     paths = trace_paths(
