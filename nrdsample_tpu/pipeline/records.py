@@ -38,11 +38,44 @@ RENDER_FIELDS = (
 )
 
 # Curated watch lists (NRDSample.cpp:58-79 analogue): indices into a scene's
-# record file that are regression-sensitive or known-weak.
+# record file that are regression-sensitive or known-weak. One record per
+# non-default STATIC bucket (VERDICT r3 #9): every denoiser / tracing-mode /
+# nrd-mode / rpp / bounce / feature-flag value the corpus pins has a golden.
 CHECK_ME: dict[str, list[int]] = {
-    "cornellbox": [0], "kitchen": [0], "shaderballs": [0, 3],
-    "interior-night": [0],
+    "cornellbox": [
+        0,    # legacy default bucket
+        3,    # REBLUR, bounce 1
+        4,    # RELAX, bounce 1
+        6,    # REBLUR, bounce 2, rpp 2
+        7,    # NrdMode.OCCLUSION
+        8,    # NrdMode.SH
+        10,   # TracingMode.FULL
+        11,   # TracingMode.HALF (checkerboard)
+        12,   # RELAX + TAA
+    ],
+    "kitchen": [
+        0,
+        2,    # PSR mirror walk
+        5,    # SHARC + history confidence
+        7,    # L1 cache
+    ],
+    "shaderballs": [0, 3],
+    "interior-night": [
+        0,
+        9,    # hair/SSS (RTXCR slot)
+    ],
+    "cornellbox-glass": [
+        2,    # SIGMA translucency march
+    ],
 }
+
+
+def static_bucket(render: dict) -> str:
+    """Stable key of the jit-compile bucket a record's RenderConfig pins land
+    in. Replay harnesses group records by this so each worker compiles each
+    bucket once (the reference replays everything in ONE binary's pipelines;
+    our analogue is bounding jit cache misses)."""
+    return ",".join(f"{k}={render[k]}" for k in sorted(render))
 IMPROVE_ME: dict[str, dict[str, list[int]]] = {
     "reblur": {"interior-night": [2]},   # low-emission record: slow converge
     "relax": {"shaderballs": [5]},       # high roughness-override record

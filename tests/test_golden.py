@@ -26,6 +26,22 @@ def _ids():
     return out
 
 
+def _bucket_params():
+    """Parametrize with an xdist_group per static compile bucket (records.
+    static_bucket): under --dist loadgroup all records sharing a RenderConfig
+    land on one worker, so each bucket compiles once per suite run."""
+    import json
+
+    params = []
+    for scene, idx in _ids():
+        path = os.path.join(replay.TESTS_DIR, f"{scene}.json")
+        with open(path) as f:
+            render = json.load(f)[idx].get("render", {})
+        group = f"golden:{records.static_bucket(render)}"
+        params.append(pytest.param(scene, idx, marks=pytest.mark.xdist_group(group)))
+    return params
+
+
 @pytest.fixture(scope="module")
 def contexts():
     return replay.build_contexts({s for s, _ in _ids()})
@@ -38,7 +54,7 @@ def test_goldens_exist():
     assert want <= have, f"missing goldens: {want - have}"
 
 
-@pytest.mark.parametrize("scene_name,index", _ids())
+@pytest.mark.parametrize("scene_name,index", _bucket_params())
 def test_golden_match(contexts, scene_name, index):
     data = np.load(replay.golden_path(scene_name, index))
     res = int(data["res"])
