@@ -202,6 +202,18 @@ def denoise(hist: RelaxHistory, illum, view_z, normal, mv,
         hist, illum, view_z, normal, mv, s, reset, confidence, pre=pre
     )
     variance = estimate_variance(acc_illum, acc_moments, frames)
+    from nrdsample_tpu.ops.traversal import _tpu_platform
+
+    if _tpu_platform():
+        # fused Pallas stencil chain: one HBM read of the packed plane per
+        # iteration instead of one per tap (denoise/atrous_pallas.py)
+        from nrdsample_tpu.denoise import atrous_pallas
+
+        out, first_out = atrous_pallas.atrous_chain(
+            acc_illum, variance, view_z, normal, s
+        )
+        new_hist = dataclasses.replace(new_hist, illum=first_out)
+        return out, new_hist
     # à-trous chain as lax.scan over the dilation steps: one compiled body
     # instead of atrous_iterations unrolled copies (the unrolled form made the
     # full-frame grad graph big enough to stall XLA:CPU/GSPMD compiles)
