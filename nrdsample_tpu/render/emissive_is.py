@@ -107,8 +107,17 @@ def light_probe(em: dict, origin: jnp.ndarray, direction: jnp.ndarray) -> jnp.nd
     Frame-scale batched launches (K x R rays at 1080p+ = tens of millions)
     are chunked OUTSIDE the body: both the (N, E) intersection planes and the
     tiny-table intensity gather (XLA lowers it as a lane-padded one-hot dot —
-    a (33M, 8) one-hot measured 15.8 GB padded) must stay chunk-sized."""
+    a (33M, 8) one-hot measured 15.8 GB padded) must stay chunk-sized.
+
+    On TPU with a small emissive table the Pallas probe kernel streams the
+    whole launch unchunked (ops/emissive_probe.py: exact-E unroll, in-register
+    intensity select — the 718 ms kitchen1080 sink drops to HBM-stream cost)."""
+    from nrdsample_tpu.ops import emissive_probe
+    from nrdsample_tpu.ops.traversal import _tpu_platform
+
     r = origin.shape[0]
+    if _tpu_platform() and emissive_probe.usable(em):
+        return emissive_probe.light_probe_pallas(em, origin, direction)
     if r > _PROBE_CHUNK:
         rc = _PROBE_CHUNK
         rpad = (-r) % rc
