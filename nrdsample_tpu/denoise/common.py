@@ -79,10 +79,16 @@ def reproject(prev: jnp.ndarray, mv_xy: jnp.ndarray, bicubic: bool = False) -> j
     instead (denoise/gatherpass.py).
     """
     pos = pixel_positions(prev.shape[0], prev.shape[1]) + mv_xy
-    if bicubic:
-        return filtering.sample_bicubic_no_corners(prev, pos)
     from nrdsample_tpu.ops import reproject as repr_mod
 
+    if bicubic:
+        # the 5-tap bicubic decomposes into 5 bilinear taps; each tap's
+        # displacement is mv +- 2.5 px, so the Pallas bounded-displacement
+        # stencil covers it on TPU (TAA history was 361 ms at 1080p on the
+        # robust gather emitter, ~10 ms on the stencil path)
+        return filtering.sample_bicubic_no_corners(
+            prev, pos, bilinear_fn=repr_mod.sample_bilinear_auto
+        )
     return repr_mod.sample_bilinear_auto(prev, pos)
 
 

@@ -38,7 +38,10 @@ class SigmaHistory:
 @dataclasses.dataclass(frozen=True)
 class SigmaSettings:
     max_accumulated_frames: int = 5   # SIGMA keeps history short (shadows move)
-    max_radius_px: float = 16.0
+    # 14 (not 16): keeps every Poisson tap inside the d=16 Pallas
+    # bounded-displacement stencil tier (ops/reproject.py) — the robust XLA
+    # gather emitter cost 584 ms for this pass at 1080p
+    max_radius_px: float = 14.0
     phi_depth: float = 1.0
     disocclusion_threshold: float = 0.02
 
@@ -102,13 +105,31 @@ def denoise(hist: SigmaHistory, shadow, shadow_hit_dist, view_z, mv,
     the staged gather pass; when None the gathers run in-program."""
     h, w = view_z.shape
     if pre is None:
-        from nrdsample_tpu.denoise import gatherpass
+        from nrdsample_tpu.ops.traversal import _tpu_platform
 
         reqs = requests(hist, shadow, shadow_hit_dist, view_z, mv,
                         tan_sun_angular_radius, unproject, frame_idx, s)
-        pre = gatherpass.execute_inline(
-            reqs, {"taps": gatherpass.BILINEAR, "temporal": gatherpass.BILINEAR}
-        )
+        if _tpu_platform():
+            # Pallas stencil taps: every Poisson position is within
+            # max_radius_px < 15 of its pixel, so the d=16 bounded stencil
+            # covers it statically (no robust-gather fallback needed)
+            from nrdsample_tpu.ops import reproject as repr_mod
+
+            taps_plane, taps_pos = reqs["taps"]
+            taps = jnp.stack([
+                repr_mod.reproject_bounded(taps_plane, taps_pos[i], 16)
+                for i in range(taps_pos.shape[0])
+            ], axis=0)
+            t_plane, t_pos = reqs["temporal"]
+            pre = {"taps": taps,
+                   "temporal": repr_mod.sample_bilinear_auto(t_plane, t_pos)}
+        else:
+            from nrdsample_tpu.denoise import gatherpass
+
+            pre = gatherpass.execute_inline(
+                reqs,
+                {"taps": gatherpass.BILINEAR, "temporal": gatherpass.BILINEAR},
+            )
 
     # spatial blur with depth edge stopping
     acc = shadow

@@ -175,16 +175,21 @@ def sample_bilinear_auto(img: jnp.ndarray, pos: jnp.ndarray,
     mx = jnp.max(jnp.abs(disp))
     # tiered static bounds: near-static frames (TAA-jitter scale motion, the
     # common case) take the 2*4+1=9-pass stencil; moderate motion the
-    # 2*8+1=17-pass one; fast motion falls back to the robust taps.
+    # 2*8+1=17-pass one; blur-scale displacement (SIGMA penumbra taps) the
+    # 33-pass d=16 one; faster motion falls back to the robust taps.
     # d must keep the DMA row extent (band + 2d) 8-aligned (Mosaic sublane
     # tiling), so the small tier is 4, not 2
-    small = 4
+    small, big = 4, 16
     return jax.lax.cond(
         mx < (small - 1),
         lambda: reproject_bounded(img, pos, small),
         lambda: jax.lax.cond(
             mx < (d - 1),
             lambda: reproject_bounded(img, pos, d),
-            lambda: filtering.sample_bilinear(img, pos),
+            lambda: jax.lax.cond(
+                mx < (big - 1),
+                lambda: reproject_bounded(img, pos, big),
+                lambda: filtering.sample_bilinear(img, pos),
+            ),
         ),
     )

@@ -11,7 +11,7 @@ from nrdsample_tpu.mathlib import filtering
 from nrdsample_tpu.ops import reproject
 
 
-@pytest.mark.parametrize("d", [4, 8])
+@pytest.mark.parametrize("d", [4, 8, 16])
 @pytest.mark.parametrize("c", [1, 3])
 def test_bounded_matches_bilinear(d, c):
     h = w = 64
