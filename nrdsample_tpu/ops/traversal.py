@@ -315,7 +315,14 @@ def closest_hit(ctx: TraceContext, origin, direction, t_max=T_MAX,
     o = jax.lax.stop_gradient(origin)
     d = jax.lax.stop_gradient(direction)
     if ctx.mode == "dense":
-        res = intersect.intersect_dense(o, d, tr.p0, tr.e1, tr.e2, t_max=t_max)
+        from nrdsample_tpu.ops import dense_pallas
+
+        if _tpu_platform() and dense_pallas.usable(tr):
+            # small-scene Pallas streamer: no lane-padded tile, no lax.map
+            # chunk serialization (kitchen1080's 668 ms no-IS trace phase)
+            res = dense_pallas.closest_hit_dense_pallas(tr, o, d, t_max=t_max)
+        else:
+            res = intersect.intersect_dense(o, d, tr.p0, tr.e1, tr.e2, t_max=t_max)
     elif ctx.mode == "cluster":
         if _use_packet(ctx):
             from nrdsample_tpu.ops.packet import closest_hit_packet
@@ -496,6 +503,12 @@ def any_hit(ctx: TraceContext, origin, direction, t_max, coherent: bool = False)
     o = jax.lax.stop_gradient(origin)
     d = jax.lax.stop_gradient(direction)
     if ctx.mode == "dense":
+        from nrdsample_tpu.ops import dense_pallas
+
+        if _tpu_platform() and dense_pallas.usable(tr):
+            res = dense_pallas.closest_hit_dense_pallas(tr, o, d, t_max=t_max)
+            tmb = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), o.shape[:1])
+            return (res["tri"] >= 0) & (res["t"] < tmb)
         return intersect.occluded_dense(o, d, tr.p0, tr.e1, tr.e2, t_max=t_max)
     if ctx.mode == "cluster":
         if _use_packet(ctx):
