@@ -38,6 +38,8 @@ class Denoiser(enum.IntEnum):
     REBLUR = 0
     RELAX = 1
     REFERENCE = 2
+    NEURAL = 3   # DLSS-RR slot: learned recurrent denoiser (post/neural_rr.py)
+                 # replacing the NRD-style denoisers (NRDSample.cpp:853-867)
 
 
 # Indirect-tracing resolution mode (Shared.hlsli:62-65)

@@ -42,6 +42,7 @@ class History:
     sharc: Any = None                 # sharc.SharcState (L2 radiance cache)
     l1: Any = None                    # l1cache.L1History (prev-frame irradiance)
     confidence: Any = None            # confidence.ConfidenceHistory (probe lum)
+    neural_rr: Any = None             # neural_rr.NeuralRRHistory (RR slot)
 
     @staticmethod
     def create(cfg: RenderConfig) -> "History":
@@ -72,6 +73,10 @@ class History:
             kw["reblur_diff"] = reblur.ReblurHistory.create(h, w, dt)
             kw["reblur_spec"] = reblur.ReblurHistory.create(h, w, dt)
             kw["sigma"] = sigma.SigmaHistory.create(h, w, dt)
+        elif cfg.denoiser == Denoiser.NEURAL:
+            from nrdsample_tpu.post import neural_rr
+
+            kw["neural_rr"] = neural_rr.NeuralRRHistory.create(h, w, dt)
         if cfg.use_taa:
             kw["taa"] = taa.TaaHistory.create(h, w, dt)
         return History(**kw)
@@ -601,6 +606,27 @@ def image_frame_finish(cfg: RenderConfig, settings: Settings, cam: Camera,
     glass_mask = gb.get("glass_mask")
     if glass_mask is not None:
         composed = jnp.where(glass_mask[..., None], gb["glass_color"], composed)
+
+    # ---- DLSS-RR slot: learned recurrent denoiser on the noisy composed
+    # image + guide buffers (NRDSample.cpp:4284-4317) ----
+    if cfg.denoiser == Denoiser.NEURAL and history.neural_rr is not None:
+        from nrdsample_tpu.post import guides as guides_mod, neural_rr
+
+        nrr_params = neural_rr.load_weights()
+        if nrr_params is not None:
+            rg = guides_mod.rr_guides(gb, near=0.01)
+            rr_g = {
+                "diff_albedo": img(rg["diff_albedo"]),
+                "spec_albedo": img(rg["spec_albedo"]),
+                "normal_roughness": img(rg["normal_roughness"]),
+                "depth": img(rg["depth"]),
+            }
+            den_img, new_nrr = neural_rr.denoise(
+                nrr_params, img(composed), rr_g, img(gb["mv"])[..., :2],
+                history.neural_rr, reset=reset_history,
+            )
+            composed = flat(den_img)
+            new_h["neural_rr"] = new_nrr
 
     if cfg.denoiser == Denoiser.REFERENCE and history.reference is not None:
         composed, new_ref = reference.accumulate(
