@@ -78,7 +78,8 @@ def _packet_kernel(order_hbm, keys_ref,
                    slab_ref,
                    t_out, tri_out, u_out, v_out,
                    order_smem, dma_sem, any_hit: bool, track_uv: bool = True,
-                   interleave: int = 1, prologue: int = 0, hoist: bool = False):
+                   interleave: int = 1, prologue: int = 0, hoist: bool = False,
+                   single: int = 0):
     """One grid step = PACKETS_PER_STEP ray packets (static unroll). The
     triangle slab table is a full-VMEM resident.
 
@@ -143,7 +144,7 @@ def _packet_kernel(order_hbm, keys_ref,
             _one_packet(
                 p, c, order_smem, keys_ref, ox_ref, oy_ref, oz_ref, dx_ref,
                 dy_ref, dz_ref, tmax_ref, slab_ref, t_out, tri_out, uv,
-                any_hit, SLAB_ROWS, init=states[p], hoist=hoist,
+                any_hit, SLAB_ROWS, init=states[p], hoist=hoist, single=single,
             )
         return
 
@@ -151,7 +152,7 @@ def _packet_kernel(order_hbm, keys_ref,
         _one_packet(
             p, c, order_smem, keys_ref, ox_ref, oy_ref, oz_ref, dx_ref, dy_ref,
             dz_ref, tmax_ref, slab_ref, t_out, tri_out, uv,
-            any_hit, SLAB_ROWS, hoist=hoist,
+            any_hit, SLAB_ROWS, hoist=hoist, single=single,
         )
 
 
@@ -308,7 +309,8 @@ def _packet_group(ps, c, order_smem, keys_ref,
 def _one_packet(p, c, order_smem, keys_ref,
                 ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, tmax_ref,
                 slab_ref, t_out, tri_out, uv, any_hit: bool,
-                slab_rows: int, init=None, hoist: bool = False):
+                slab_rows: int, init=None, hoist: bool = False,
+                single: int = 0):
     """One packet's self-terminating traversal loop. A fused all-packets loop
     with pl.when-gated work was tried and measured SLOWER (scalar branches
     around vector work defeat Mosaic's pipelining); independent per-packet
@@ -324,7 +326,7 @@ def _one_packet(p, c, order_smem, keys_ref,
         return _one_packet_hoisted(
             p, c, order_smem, keys_ref, ox_ref, oy_ref, oz_ref, dx_ref,
             dy_ref, dz_ref, tmax_ref, slab_ref, t_out, tri_out, uv, any_hit,
-            slab_rows, init,
+            slab_rows, init, single=single,
         )
 
     keys_row = keys_ref[p, :]
@@ -376,7 +378,7 @@ def _one_packet(p, c, order_smem, keys_ref,
 def _one_packet_hoisted(p, c, order_smem, keys_ref,
                         ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
                         tmax_ref, slab_ref, t_out, tri_out, uv, any_hit: bool,
-                        slab_rows: int, init):
+                        slab_rows: int, init, single: int = 0):
     """Variant of _one_packet with the prune-count reduction HOISTED off the
     serial cond chain: the baseline cond evaluates max(t_best) + a c-lane
     key comparison + sum every trip, serializing two reductions between
@@ -416,6 +418,14 @@ def _one_packet_hoisted(p, c, order_smem, keys_ref,
     def cond_tail(state):
         return state[0] < state[-1]
 
+    if single:
+        # ONE while_loop at trip width `single` — the two-phase split pays a
+        # second loop's fixed Mosaic machinery (~0.65 us/loop, 24% of the
+        # shaderballs kernel at zero-trip floors, tools/profile_floor.py);
+        # over-testing past the horizon is junk-but-valid work
+        state = jax.lax.while_loop(cond_tail, make_body(single), init_h)
+        _write_best(p, state[1:-1], t_out, tri_out, uv)
+        return
     state = jax.lax.while_loop(cond_main, make_body(UNROLL), init_h)
     state = jax.lax.while_loop(cond_tail, make_body(TAIL_UNROLL), state)
     _write_best(p, state[1:-1], t_out, tri_out, uv)
@@ -796,7 +806,7 @@ def closest_hit_packet(cs: ClusterSet, origin, direction, t_max=T_MAX,
                        sort: bool = False, stream: bool | None = None,
                        interleave: int = 1, prologue: int = 0,
                        hoist: bool = False, need_uv: bool = True,
-                       any_hit: bool = False):
+                       any_hit: bool = False, single: int = 0):
     """Packet-traversal closest hit: origin/direction (R, 3), R % block == 0
     after padding (handled here). Returns dict(t, u, v, tri); u/v of the
     winning triangle are tracked inside the kernel (the XLA gather that used
@@ -843,7 +853,7 @@ def closest_hit_packet(cs: ClusterSet, origin, direction, t_max=T_MAX,
             cs, jnp.stack([ox, oy, oz], axis=1), jnp.stack([dx, dy, dz], axis=1),
             tms, block, interpret, sort=False, stream=stream,
             interleave=interleave, prologue=prologue, hoist=hoist,
-            need_uv=need_uv, any_hit=any_hit,
+            need_uv=need_uv, any_hit=any_hit, single=single,
         )
         (_, t, u, v, tri) = jax.lax.sort(
             (idx_s, res["t"], res["u"], res["v"], res["tri"]), num_keys=1,
@@ -932,6 +942,7 @@ def closest_hit_packet(cs: ClusterSet, origin, direction, t_max=T_MAX,
         kernel = functools.partial(
             _packet_kernel, any_hit=any_hit, track_uv=need_uv,
             interleave=interleave, prologue=prologue, hoist=hoist,
+            single=single,
         )
         t, tri, u, v = pl.pallas_call(
             kernel,

@@ -21,7 +21,9 @@ def _ids():
     out = []
     for p in _GOLDENS:
         stem = os.path.basename(p)[:-4]
-        scene, idx = stem.rsplit("-", 1)
+        scene, _, idx = stem.rpartition("-")
+        if not scene or not idx.isdigit():
+            continue  # non-record artifacts (e.g. neural_rr_holdout.npz)
         out.append((scene, int(idx)))
     return out
 

@@ -50,7 +50,9 @@ def test_packet_matches_dense(stream):
 @pytest.mark.parametrize("variant", [{"interleave": 2}, {"interleave": 4},
                                      {"prologue": 2}, {"prologue": 4},
                                      {"hoist": True},
-                                     {"prologue": 2, "hoist": True}])
+                                     {"prologue": 2, "hoist": True},
+                                     {"hoist": True, "single": 2},
+                                     {"hoist": True, "single": 4}])
 def test_packet_loop_variants_match_dense(variant):
     """The interleaved-group and prologue loop structures (ROADMAP perf #1)
     must produce the same hits as the baseline per-packet loops."""

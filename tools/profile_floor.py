@@ -52,25 +52,44 @@ def make(variant):
             elif variant.startswith('line'):
                 g = int(variant[4:])
                 rays = _ray_planes(p, ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref)
-                cid0 = order_smem[p, 0]
-                t = _test_cluster(rays, slab_ref, cid0, SLAB_ROWS)
-                cid_plane = jnp.broadcast_to(cid0, t.shape)
-                for j in range(1, g):
+                best = (t0, tri0)
+                for j in range(g):
                     cid_j = order_smem[p, jnp.minimum(jnp.int32(j), c - 1)]
-                    t_j = _test_cluster(rays, slab_ref, cid_j, SLAB_ROWS)
-                    take = t_j < t
-                    cid_plane = jnp.where(take, cid_j, cid_plane)
-                    t = jnp.where(take, t_j, t)
-                t_best, tri_best = _merge_group(t, cid_plane, t0, tri0)
-                t_out[p, :] = t_best
-                tri_out[p, :] = tri_best
+                    t, u, v = _test_cluster(rays, slab_ref, cid_j, SLAB_ROWS)
+                    cid_plane = jnp.broadcast_to(cid_j, t.shape)
+                    best = _merge_group(t, cid_plane, best)
+                t_out[p, :] = best[0]
+                tri_out[p, :] = best[1]
+            elif variant.startswith('sl'):
+                g = int(variant[2:])
+                rays = _ray_planes(p, ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref)
+                t0v = tmax_ref[p, :]
+                t, cid_plane, u, v = packet._fold_tests(
+                    rays, slab_ref, order_smem, p, jnp.int32(0), c, g,
+                    SLAB_ROWS, False)
+                best = packet._merge_group(t, cid_plane, packet._init_best(t0v, False))
+                keys_row = keys_ref[p, :]
+                def prune_count(t_best):
+                    return jnp.sum((keys_row < jnp.max(t_best)).astype(jnp.int32))
+                def cond(state):
+                    return state[0] < state[-1]
+                def body(state):
+                    i, bst = state[0], state[1:-1]
+                    pc_next = prune_count(bst[0])
+                    t, cidp, u, v = packet._fold_tests(
+                        rays, slab_ref, order_smem, p, i, c, 2, SLAB_ROWS, False)
+                    return (i + 2,) + packet._merge_group(t, cidp, bst) + (pc_next,)
+                st = jax.lax.while_loop(
+                    cond, body, (jnp.int32(g),) + best + (prune_count(best[0]),))
+                t_out[p, :] = st[1]
+                tri_out[p, :] = st[2]
             elif variant == 'loop0':
                 rays = _ray_planes(p, ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref)
                 def body(state):
                     i, t_best, tri_best, pc = state
-                    t = _test_cluster(rays, slab_ref, order_smem[p, jnp.minimum(i, c-1)], SLAB_ROWS)
+                    t, u, v = _test_cluster(rays, slab_ref, order_smem[p, jnp.minimum(i, c-1)], SLAB_ROWS)
                     t_best2, tri_best2 = _merge_group(
-                        t, jnp.broadcast_to(order_smem[p, 0], t.shape), t_best, tri_best)
+                        t, jnp.broadcast_to(order_smem[p, 0], t.shape), (t_best, tri_best))
                     return i + 1, t_best2, tri_best2, pc
                 def cond(state):
                     return state[0] < state[3]
@@ -116,10 +135,17 @@ def run(variant):
         out = f(*args)
     jax.block_until_ready(out)
     dt = (time.perf_counter() - t0) / n
+    # VALIDATE against the production kernel
+    ref = packet.closest_hit_packet(cs, o, d, block=BLOCK, hoist=True)
+    tv = np.asarray(out[0]).reshape(-1)
+    triv = np.asarray(out[1]).reshape(-1)
+    tr = np.asarray(ref['t']); trir = np.asarray(ref['tri'])
+    match = (np.abs(tv - tr) < 1e-4).mean()
+    trimatch = (triv == trir).mean()
     print(f'{variant}: {dt*1e3:.2f} ms  ({dt/ (nb//pps) *1e6:.1f} us/step, '
-          f'{dt/nb*1e6:.2f} us/packet)', flush=True)
+          f'{dt/nb*1e6:.2f} us/packet)  t-match={match:.4f} tri-match={trimatch:.4f}', flush=True)
 
-for v in ['io', 'line1', 'line2', 'line4', 'loop0']:
+for v in ['io', 'line4', 'sl8', 'sl16', 'sl24', 'sl32', 'sl48', 'loop0']:
     run(v)
 
 # production reference
