@@ -58,6 +58,12 @@ class ClusterSet:
     # the stage-1 hierarchy level — per-ray entry tests run on these (8x fewer)
     super_min: jnp.ndarray    # (ceil(C/SUPER_SIZE), 3)
     super_max: jnp.ndarray
+    # MXU coefficient slab (C * SLAB_ROWS, 4 * CLUSTER_SIZE), built for
+    # VMEM-resident scenes: per cluster 16 rows of Woop-style scalar-triple
+    # coefficients so (t*det, u*det, v*det, det) come from ONE 128x16x512
+    # matmul per cluster (see packet._test_cluster_mxu). None for streaming-
+    # scale scenes (4x the slab bytes).
+    mxu_slab: jnp.ndarray | None = None
 
     @property
     def count(self) -> int:
@@ -140,6 +146,11 @@ def build_clusters(tris):
     super_min = cmin_p.reshape(cs_n, SUPER_SIZE, 3).min(axis=1)
     super_max = cmax_p.reshape(cs_n, SUPER_SIZE, 3).max(axis=1)
 
+    # MXU coefficient slab for resident-scale scenes only (4x slab bytes)
+    mxu_slab = None
+    if c * SLAB_ROWS * 4 * CLUSTER_SIZE * 4 <= (96 << 20):
+        mxu_slab = jnp.asarray(_build_mxu_slab(p0_b, e1_b, e2_b))
+
     cs = ClusterSet(
         jnp.asarray(cmin), jnp.asarray(cmax),
         p0_b=jnp.asarray(p0_b),
@@ -148,8 +159,41 @@ def build_clusters(tris):
         slab=jnp.asarray(slab),
         super_min=jnp.asarray(super_min),
         super_max=jnp.asarray(super_max),
+        mxu_slab=mxu_slab,
     )
     return cs, tris_p, order
+
+
+def _build_mxu_slab(p0_b, e1_b, e2_b):
+    """(C*SLAB_ROWS, 4*CLUSTER_SIZE) Woop-coefficient slab.
+
+    Möller-Trumbore's four scalars are LINEAR in the per-ray feature vector
+    F = [o, d, o x d, 1] with triangle-only coefficients (scalar-triple
+    rotations):
+        det   = d . (e2 x e1)
+        u*det = (o x d) . e2  -  d . (e2 x p0)
+        v*det = -(o x d) . e1 -  d . (p0 x e1)
+        t*det = o . (e1 x e2) -  p0 . (e1 x e2)
+    so the whole cluster test is one (128 rays, 16) @ (16, 4*128 tris) MXU
+    matmul + a short VPU epilogue. Row layout (16): 0-2 o-coeffs, 3-5
+    d-coeffs, 6-8 (o x d)-coeffs, 9 constant, 10-15 zero. Column layout:
+    [0:K)=det, [K:2K)=u*det, [2K:3K)=v*det, [3K:4K)=t*det."""
+    c, k, _ = p0_b.shape
+    blk = np.zeros((c, SLAB_ROWS, 4 * k), np.float32)
+    tr = lambda a: a.transpose(0, 2, 1)    # (C, K, 3) -> (C, 3, K)
+    # det: d-coeffs only
+    blk[:, 3:6, 0:k] = tr(np.cross(e2_b, e1_b))
+    # u*det: d-coeffs -(e2 x p0), m-coeffs e2
+    blk[:, 3:6, k:2 * k] = -tr(np.cross(e2_b, p0_b))
+    blk[:, 6:9, k:2 * k] = tr(e2_b)
+    # v*det: d-coeffs -(p0 x e1), m-coeffs -e1
+    blk[:, 3:6, 2 * k:3 * k] = -tr(np.cross(p0_b, e1_b))
+    blk[:, 6:9, 2 * k:3 * k] = -tr(e1_b)
+    # t*det: o-coeffs n2, const -p0.n2
+    n2 = np.cross(e1_b, e2_b)
+    blk[:, 0:3, 3 * k:4 * k] = tr(n2)
+    blk[:, 9, 3 * k:4 * k] = -(p0_b * n2).sum(-1)
+    return blk.reshape(c * SLAB_ROWS, 4 * k)
 
 
 def _cluster_entry(o, d, cs, t_max):

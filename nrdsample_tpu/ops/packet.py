@@ -79,7 +79,7 @@ def _packet_kernel(order_hbm, keys_ref,
                    t_out, tri_out, u_out, v_out,
                    order_smem, dma_sem, any_hit: bool, track_uv: bool = True,
                    interleave: int = 1, prologue: int = 0, hoist: bool = False,
-                   single: int = 0):
+                   single: int = 0, mxu: bool = False):
     """One grid step = PACKETS_PER_STEP ray packets (static unroll). The
     triangle slab table is a full-VMEM resident.
 
@@ -152,7 +152,7 @@ def _packet_kernel(order_hbm, keys_ref,
         _one_packet(
             p, c, order_smem, keys_ref, ox_ref, oy_ref, oz_ref, dx_ref, dy_ref,
             dz_ref, tmax_ref, slab_ref, t_out, tri_out, uv,
-            any_hit, SLAB_ROWS, hoist=hoist, single=single,
+            any_hit, SLAB_ROWS, hoist=hoist, single=single, mxu=mxu,
         )
 
 
@@ -172,6 +172,49 @@ def _test_cluster(rays, slab_ref, cid, slab_rows):
         blk[0:1, :], blk[1:2, :], blk[2:3, :],
         blk[3:4, :], blk[4:5, :], blk[5:6, :],
         blk[6:7, :], blk[7:8, :], blk[8:9, :],
+    )
+    return jnp.where(hit, t, T_MAX), u, v
+
+
+def _ray_features(p, ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref):
+    """(BLOCK, 16) per-ray feature matrix [o, d, o x d, 1, 0...] — the MXU
+    operand of the Woop-coefficient cluster test (cluster._build_mxu_slab)."""
+    ox, oy, oz = ox_ref[p, :], oy_ref[p, :], oz_ref[p, :]
+    dx, dy, dz = dx_ref[p, :], dy_ref[p, :], dz_ref[p, :]
+    mx = oy * dz - oz * dy
+    my = oz * dx - ox * dz
+    mz = ox * dy - oy * dx
+    one = jnp.ones_like(ox)
+    zero = jnp.zeros_like(ox)
+    cols = [ox, oy, oz, dx, dy, dz, mx, my, mz, one] + [zero] * 6
+    return jnp.stack(cols, axis=1)                       # (B, 16)
+
+
+def _test_cluster_mxu(feats, slab_ref, cid, slab_rows):
+    """MXU variant of _test_cluster: ONE (B,16)@(16,4K) matmul yields
+    (det, u*det, v*det, t*det) planes; short VPU epilogue recovers the same
+    (t, u, v) as the Möller-Trumbore block (identical epsilon semantics,
+    different float association — parity ~1e-4 relative)."""
+    blk = slab_ref[pl.ds(cid * slab_rows, slab_rows), :]  # (16, 4K)
+    out = jax.lax.dot_general(
+        feats, blk, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )                                                     # (B, 4K)
+    k = blk.shape[1] // 4
+    det = out[:, 0:k]
+    ud = out[:, k:2 * k]
+    vd = out[:, 2 * k:3 * k]
+    td = out[:, 3 * k:4 * k]
+    inv_det = jnp.where(
+        jnp.abs(det) < EPS, 0.0, 1.0 / jnp.where(det == 0.0, 1.0, det)
+    )
+    u = ud * inv_det
+    v = vd * inv_det
+    t = td * inv_det
+    hit = (
+        (jnp.abs(det) >= EPS)
+        & (u >= -1e-6) & (v >= -1e-6) & (u + v <= 1.0 + 1e-6)
+        & (t > 1e-5)
     )
     return jnp.where(hit, t, T_MAX), u, v
 
@@ -206,15 +249,17 @@ def _merge_group(t, cid_plane, best, u=None, v=None):
 
 
 def _fold_tests(rays, slab_ref, order_smem, p, i, c, g, slab_rows,
-                track_uv: bool):
+                track_uv: bool, mxu: bool = False):
     """Test g consecutive worklist clusters, folding them into ONE
-    (t, cid_plane[, u, v]) plane set by per-slot min."""
+    (t, cid_plane[, u, v]) plane set by per-slot min. mxu=True: `rays` is the
+    (B, 16) feature matrix and slab_ref the Woop-coefficient slab."""
+    test = _test_cluster_mxu if mxu else _test_cluster
     cid0 = order_smem[p, jnp.minimum(i, c - 1)]
-    t, u, v = _test_cluster(rays, slab_ref, cid0, slab_rows)
+    t, u, v = test(rays, slab_ref, cid0, slab_rows)
     cid_plane = jnp.broadcast_to(cid0, t.shape)
     for j in range(1, g):
         cid_j = order_smem[p, jnp.minimum(i + j, c - 1)]
-        t_j, u_j, v_j = _test_cluster(rays, slab_ref, cid_j, slab_rows)
+        t_j, u_j, v_j = test(rays, slab_ref, cid_j, slab_rows)
         take = t_j < t
         cid_plane = jnp.where(take, cid_j, cid_plane)
         t = jnp.where(take, t_j, t)
@@ -310,7 +355,7 @@ def _one_packet(p, c, order_smem, keys_ref,
                 ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, tmax_ref,
                 slab_ref, t_out, tri_out, uv, any_hit: bool,
                 slab_rows: int, init=None, hoist: bool = False,
-                single: int = 0):
+                single: int = 0, mxu: bool = False):
     """One packet's self-terminating traversal loop. A fused all-packets loop
     with pl.when-gated work was tried and measured SLOWER (scalar branches
     around vector work defeat Mosaic's pipelining); independent per-packet
@@ -318,7 +363,8 @@ def _one_packet(p, c, order_smem, keys_ref,
     hoist: move the prune-count reduction off the serial cond chain (see
     _one_packet_hoisted)."""
     track_uv = uv is not None
-    rays = _ray_planes(p, ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref)
+    rays = (_ray_features if mxu else _ray_planes)(
+        p, ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref)
     t0 = tmax_ref[p, :]
     if init is None:
         init = (jnp.int32(0),) + _init_best(t0, track_uv)
@@ -326,7 +372,7 @@ def _one_packet(p, c, order_smem, keys_ref,
         return _one_packet_hoisted(
             p, c, order_smem, keys_ref, ox_ref, oy_ref, oz_ref, dx_ref,
             dy_ref, dz_ref, tmax_ref, slab_ref, t_out, tri_out, uv, any_hit,
-            slab_rows, init, single=single,
+            slab_rows, init, single=single, mxu=mxu,
         )
 
     keys_row = keys_ref[p, :]
@@ -350,7 +396,8 @@ def _one_packet(p, c, order_smem, keys_ref,
         def body(state):
             i, best = state[0], state[1:]
             t, cid_plane, u, v = _fold_tests(
-                rays, slab_ref, order_smem, p, i, c, g, slab_rows, track_uv
+                rays, slab_ref, order_smem, p, i, c, g, slab_rows, track_uv,
+                mxu=mxu,
             )
             return (i + g,) + _merge_group(t, cid_plane, best, u, v)
 
@@ -378,7 +425,8 @@ def _one_packet(p, c, order_smem, keys_ref,
 def _one_packet_hoisted(p, c, order_smem, keys_ref,
                         ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
                         tmax_ref, slab_ref, t_out, tri_out, uv, any_hit: bool,
-                        slab_rows: int, init, single: int = 0):
+                        slab_rows: int, init, single: int = 0,
+                        mxu: bool = False):
     """Variant of _one_packet with the prune-count reduction HOISTED off the
     serial cond chain: the baseline cond evaluates max(t_best) + a c-lane
     key comparison + sum every trip, serializing two reductions between
@@ -389,7 +437,8 @@ def _one_packet_hoisted(p, c, order_smem, keys_ref,
     tests are wasted-but-valid work, and i grows monotonically so the loop
     terminates."""
     track_uv = uv is not None
-    rays = _ray_planes(p, ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref)
+    rays = (_ray_features if mxu else _ray_planes)(
+        p, ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref)
     keys_row = keys_ref[p, :]
 
     def prune_count(t_best):
@@ -406,7 +455,8 @@ def _one_packet_hoisted(p, c, order_smem, keys_ref,
             i, best = state[0], state[1:-1]
             pc_next = prune_count(best[0])  # no dep on the test chain below
             t, cid_plane, u, v = _fold_tests(
-                rays, slab_ref, order_smem, p, i, c, g, slab_rows, track_uv
+                rays, slab_ref, order_smem, p, i, c, g, slab_rows, track_uv,
+                mxu=mxu,
             )
             return (i + g,) + _merge_group(t, cid_plane, best, u, v) + (pc_next,)
 
@@ -806,7 +856,8 @@ def closest_hit_packet(cs: ClusterSet, origin, direction, t_max=T_MAX,
                        sort: bool = False, stream: bool | None = None,
                        interleave: int = 1, prologue: int = 0,
                        hoist: bool = False, need_uv: bool = True,
-                       any_hit: bool = False, single: int = 0):
+                       any_hit: bool = False, single: int = 0,
+                       mxu: bool = False):
     """Packet-traversal closest hit: origin/direction (R, 3), R % block == 0
     after padding (handled here). Returns dict(t, u, v, tri); u/v of the
     winning triangle are tracked inside the kernel (the XLA gather that used
@@ -853,7 +904,7 @@ def closest_hit_packet(cs: ClusterSet, origin, direction, t_max=T_MAX,
             cs, jnp.stack([ox, oy, oz], axis=1), jnp.stack([dx, dy, dz], axis=1),
             tms, block, interpret, sort=False, stream=stream,
             interleave=interleave, prologue=prologue, hoist=hoist,
-            need_uv=need_uv, any_hit=any_hit, single=single,
+            need_uv=need_uv, any_hit=any_hit, single=single, mxu=mxu,
         )
         (_, t, u, v, tri) = jax.lax.sort(
             (idx_s, res["t"], res["u"], res["v"], res["tri"]), num_keys=1,
@@ -939,10 +990,18 @@ def closest_hit_packet(cs: ClusterSet, origin, direction, t_max=T_MAX,
             interpret=interpret,
         )(order, keys_sorted, *o_c, *d_c, tmb, cs.slab)
     else:
+        slab_arr = cs.slab
+        if mxu:
+            assert cs.mxu_slab is not None, "scene built without an MXU slab"
+            slab_arr = cs.mxu_slab
+            slab_spec = pl.BlockSpec(
+                tuple(slab_arr.shape), lambda i: (0, 0),
+                memory_space=pltpu.VMEM,
+            )
         kernel = functools.partial(
             _packet_kernel, any_hit=any_hit, track_uv=need_uv,
             interleave=interleave, prologue=prologue, hoist=hoist,
-            single=single,
+            single=single, mxu=mxu,
         )
         t, tri, u, v = pl.pallas_call(
             kernel,
@@ -960,7 +1019,7 @@ def closest_hit_packet(cs: ClusterSet, origin, direction, t_max=T_MAX,
                 pltpu.SemaphoreType.DMA,
             ],
             interpret=interpret,
-        )(order, keys_sorted, *o_c, *d_c, tmb, cs.slab)
+        )(order, keys_sorted, *o_c, *d_c, tmb, slab_arr)
 
     return {
         "t": t.reshape(-1)[:r],

@@ -52,7 +52,9 @@ def test_packet_matches_dense(stream):
                                      {"hoist": True},
                                      {"prologue": 2, "hoist": True},
                                      {"hoist": True, "single": 2},
-                                     {"hoist": True, "single": 4}])
+                                     {"hoist": True, "single": 4},
+                                     {"mxu": True},
+                                     {"mxu": True, "hoist": True}])
 def test_packet_loop_variants_match_dense(variant):
     """The interleaved-group and prologue loop structures (ROADMAP perf #1)
     must produce the same hits as the baseline per-packet loops."""
