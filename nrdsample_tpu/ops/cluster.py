@@ -146,9 +146,15 @@ def build_clusters(tris):
     super_min = cmin_p.reshape(cs_n, SUPER_SIZE, 3).min(axis=1)
     super_max = cmax_p.reshape(cs_n, SUPER_SIZE, 3).max(axis=1)
 
-    # MXU coefficient slab for resident-scale scenes only (4x slab bytes)
+    # MXU coefficient slab — EXPERIMENTAL variant, small scenes only.
+    # Measured on v5e (shaderballs512): raw-bf16 MXU feeds win (+5% primary,
+    # +28% bounce) but flip ~5% of near-tangent hits; the bf16x3-recomposed
+    # form restores parity (99.99%) but lands BELOW the f32 VPU path
+    # (20.4 vs 24.9 Mrays/s primary). Kept for the measurement record and
+    # future hardware with native f32 MXU paths; packet kernels default to
+    # the VPU Möller-Trumbore.
     mxu_slab = None
-    if c * SLAB_ROWS * 4 * CLUSTER_SIZE * 4 <= (96 << 20):
+    if c * SLAB_ROWS * 4 * CLUSTER_SIZE * 4 <= (8 << 20):
         mxu_slab = jnp.asarray(_build_mxu_slab(p0_b, e1_b, e2_b))
 
     cs = ClusterSet(

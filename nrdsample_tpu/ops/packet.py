@@ -187,7 +187,9 @@ def _ray_features(p, ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref):
     one = jnp.ones_like(ox)
     zero = jnp.zeros_like(ox)
     cols = [ox, oy, oz, dx, dy, dz, mx, my, mz, one] + [zero] * 6
-    return jnp.stack(cols, axis=1)                       # (B, 16)
+    feats = jnp.stack(cols, axis=1)                      # (B, 16)
+    f_hi = feats.astype(jnp.bfloat16).astype(jnp.float32)
+    return f_hi, feats - f_hi                            # bf16x3 operand split
 
 
 def _test_cluster_mxu(feats, slab_ref, cid, slab_rows):
@@ -196,10 +198,23 @@ def _test_cluster_mxu(feats, slab_ref, cid, slab_rows):
     (t, u, v) as the Möller-Trumbore block (identical epsilon semantics,
     different float association — parity ~1e-4 relative)."""
     blk = slab_ref[pl.ds(cid * slab_rows, slab_rows), :]  # (16, 4K)
-    out = jax.lax.dot_general(
-        feats, blk, (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )                                                     # (B, 4K)
+    # manual bf16x3: the TPU matmul default feeds raw bf16 into the MXU — 8
+    # mantissa bits flip ~5% of near-tangent hits vs the f32 VPU path
+    # (measured). Splitting both operands into bf16 hi + residual lo and
+    # summing three DEFAULT dots recovers ~f32 products (lo x lo dropped);
+    # Precision.HIGHEST's 6-pass form measured 2x slower than the VPU path
+    # and Mosaic does not lower Precision.HIGH.
+    f_hi, f_lo = feats
+    b_hi = blk.astype(jnp.bfloat16).astype(jnp.float32)
+    b_lo = blk - b_hi
+
+    def dot(a, b):
+        return jax.lax.dot_general(
+            a, b, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+    out = dot(f_hi, b_hi) + dot(f_hi, b_lo) + dot(f_lo, b_hi)  # (B, 4K)
     k = blk.shape[1] // 4
     det = out[:, 0:k]
     ud = out[:, k:2 * k]
