@@ -262,7 +262,6 @@ def gather_modes(cfg: RenderConfig) -> dict:
 
     modes = {}
     if cfg.denoiser in (Denoiser.RELAX, Denoiser.REBLUR):
-        modes["sigma.taps"] = gp.BILINEAR
         modes["sigma.temporal"] = gp.BILINEAR
     if cfg.denoiser == Denoiser.RELAX:
         modes["relax_diff"] = gp.BILINEAR
@@ -431,8 +430,8 @@ def image_frame_begin(cfg: RenderConfig, settings: Settings, cam: Camera,
     if history.sigma is not None:
         unproj = cam_mod.unproject_scale(cam, cfg.height)
         pre_sigma = (
-            {"taps": gathered["sigma.taps"], "temporal": gathered["sigma.temporal"]}
-            if "sigma.taps" in gathered else None
+            {"temporal": gathered["sigma.temporal"]}
+            if "sigma.temporal" in gathered else None
         )
         shadow_img, new_sigma = sigma.denoise(
             history.sigma, img(shadow), img(gb["shadow_hit_dist"]), img(gb["view_z"]),

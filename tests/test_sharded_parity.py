@@ -72,16 +72,17 @@ def test_sharded_frame_matches_single_chip(tracing_mode):
     for _ in range(2):
         out_b, hist_b = fn(scene, cam, settings, hist_b, pixel_idx)
 
-    # atol 5e-5 on O(1) radiance: GSPMD halo partitioning of the image-phase
-    # stencils reassociates float adds, so the last bit can differ per shard
+    # atol 1e-4 on O(1) radiance: GSPMD halo partitioning of the image-phase
+    # stencils reassociates float adds (the SIGMA dilated chain runs 4 gated
+    # passes), so the last couple of bits can differ per shard
     np.testing.assert_allclose(
-        np.asarray(out_b["color"]), np.asarray(out_a["color"]), atol=5e-5
+        np.asarray(out_b["color"]), np.asarray(out_a["color"]), atol=1e-4
     )
     np.testing.assert_allclose(
-        np.asarray(out_b["final"]), np.asarray(out_a["final"]), atol=5e-5
+        np.asarray(out_b["final"]), np.asarray(out_a["final"]), atol=1e-4
     )
     np.testing.assert_allclose(
-        np.asarray(out_b["shadow"]), np.asarray(out_a["shadow"]), atol=5e-5
+        np.asarray(out_b["shadow"]), np.asarray(out_a["shadow"]), atol=1e-4
     )
     # the ENTIRE history pytree matches: denoiser temporal state, SHARC table,
     # confidence, L1 — next frames stay identical too
