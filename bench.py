@@ -207,6 +207,46 @@ def bench_denoise(size: int = 512, n_iter: int = 10) -> dict:
     return {"denoise_mpix_s": h * w / dt_dn / 1e6, "denoise_ms": dt_dn * 1e3}
 
 
+def bench_denoise_stack(h: int = 1080, w: int = 1920, n_iter: int = 8) -> dict:
+    """The full 1080p image stack — RELAX x2 (diff+spec) + SIGMA + TAA — as
+    ONE jitted program on synthetic planes (the VERDICT r3 #4 ladder number)."""
+    import jax
+    import jax.numpy as jnp
+
+    from nrdsample_tpu.denoise import relax, sigma, taa
+
+    key = jax.random.PRNGKey(0)
+    img = jax.random.uniform(key, (h, w, 3), jnp.float32)
+    vz = jnp.ones((h, w), jnp.float32)
+    nrm = jnp.zeros((h, w, 3), jnp.float32).at[..., 2].set(1.0)
+    mv = jnp.zeros((h, w, 3), jnp.float32)
+    shadow = (jax.random.uniform(key, (h, w)) > 0.3).astype(jnp.float32)
+    shd = jax.random.uniform(key, (h, w)) * 2.0 * (1.0 - shadow)
+    hists = (relax.RelaxHistory.create(h, w), relax.RelaxHistory.create(h, w),
+             sigma.SigmaHistory.create(h, w), taa.TaaHistory.create(h, w))
+
+    @jax.jit
+    def stack(hists, img, vz, nrm, mv, shadow, shd):
+        hd, hs, hsig, ht = hists
+        d, hd = relax.denoise(hd, img, vz, nrm, mv)
+        sp, hs = relax.denoise(hs, img, vz, nrm, mv)
+        sh, hsig = sigma.denoise(hsig, shadow, shd, vz, mv, 0.01, 1e-3,
+                                 jnp.int32(3))
+        out, ht = taa.apply(ht, d + sp * 0.5 + sh[..., None] * 0.1, mv, vz)
+        return out, (hd, hs, hsig, ht)
+
+    out, hists = stack(hists, img, vz, nrm, mv, shadow, shd)
+    out, hists = stack(hists, img, vz, nrm, mv, shadow, shd)
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    for _ in range(n_iter):
+        out, hists = stack(hists, img, vz, nrm, mv, shadow, shd)
+    jax.block_until_ready(out)
+    dt = (time.perf_counter() - t0) / n_iter
+    return {"denoise_stack_mpix_s": h * w / dt / 1e6,
+            "denoise_stack_ms": dt * 1e3}
+
+
 def main():
     args = sys.argv[1:]
     configs = _make_configs()
@@ -222,6 +262,8 @@ def main():
         rec = run_config(name, configs[name])
         if name == "shaderballs512":
             rec["detail"].update(bench_denoise(512))
+        elif name == "kitchen1080":
+            rec["detail"].update(bench_denoise_stack(1080, 1920))
         print(json.dumps(rec), flush=True)
 
 
