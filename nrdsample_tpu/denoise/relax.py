@@ -196,14 +196,27 @@ def denoise(hist: RelaxHistory, illum, view_z, normal, mv,
     confidence: optional (H, W) [0,1] history-confidence plane.
     pre: optional pre-gathered taccum_requests result (staged gather pass).
     """
-    if s.enable_anti_firefly:
-        illum = common.anti_firefly(illum)
-    acc_illum, acc_moments, frames, new_hist = temporal_accumulate(
-        hist, illum, view_z, normal, mv, s, reset, confidence, pre=pre
-    )
-    variance = estimate_variance(acc_illum, acc_moments, frames)
     from nrdsample_tpu.ops.traversal import _tpu_platform
 
+    if _tpu_platform() and pre is None:
+        # fused Pallas taccum: anti-firefly + history gather + disocclusion +
+        # accumulate + variance in ONE pass over row bands (the XLA
+        # composition round-trips ~60 channel planes through HBM;
+        # denoise/taccum_pallas.py)
+        from nrdsample_tpu.denoise import taccum_pallas
+
+        acc_illum, acc_moments, frames, variance = (
+            taccum_pallas.taccum_fused_auto(
+                hist, illum, view_z, normal, mv, s, reset, confidence))
+        new_hist = RelaxHistory(illum=acc_illum, moments=acc_moments,
+                                view_z=view_z, normal=normal, frames=frames)
+    else:
+        if s.enable_anti_firefly:
+            illum = common.anti_firefly(illum)
+        acc_illum, acc_moments, frames, new_hist = temporal_accumulate(
+            hist, illum, view_z, normal, mv, s, reset, confidence, pre=pre
+        )
+        variance = estimate_variance(acc_illum, acc_moments, frames)
     if _tpu_platform():
         # fused Pallas stencil chain: one HBM read of the packed plane per
         # iteration instead of one per tap (denoise/atrous_pallas.py)
