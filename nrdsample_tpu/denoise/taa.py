@@ -51,18 +51,13 @@ def requests(hist: TaaHistory, mv: jnp.ndarray, view_z: jnp.ndarray):
     return hist.color, common.pixel_positions(h, w) + mv_d
 
 
-def apply(hist: TaaHistory, cur: jnp.ndarray, mv: jnp.ndarray, view_z: jnp.ndarray,
-          wide_mask: jnp.ndarray | None = None, reset=False,
-          base_mix: float = 0.1, pre=None):
-    """One TAA step. cur: (H, W, 3) current-frame color (post-composition HDR or
-    tonemapped — the reference runs TAA on tonemap-ish output). Returns
-    (antialiased, new history). pre: optional pre-gathered history sample
-    (requests() via the staged gather pass)."""
-    h, w = view_z.shape
-    mv_d = closest_velocity_dilation(mv[..., :2], view_z)
-
-    # neighborhood statistics (3x3; 5x5 where wide_mask set: hair/glass/sky,
-    # Taa.cs.hlsl:77)
+def resolve_tail(cur, prev, mv_d, wide_mask, reset_mix,
+                 sigma_scale: float, base_mix: float):
+    """Post-gather TAA stage: neighborhood moments, variance clamp,
+    CIELAB-JND mix (Taa.cs.hlsl:56-147). Pure XLA reference — the Pallas
+    kernel (denoise/taa_pallas.py) fuses exactly this. wide_mask: (H, W)
+    float (>0.5 = wide) or None; reset_mix: (H, W) float in {0, 1}."""
+    h, w = cur.shape[:2]
     mu = jnp.zeros_like(cur)
     mu2 = jnp.zeros_like(cur)
     for dy, dx in common.stencil_taps(1):
@@ -80,13 +75,12 @@ def apply(hist: TaaHistory, cur: jnp.ndarray, mv: jnp.ndarray, view_z: jnp.ndarr
             mu52 += cn * cn
         mu5 /= 25.0
         sigma5 = jnp.sqrt(jnp.maximum(mu52 / 25.0 - mu5 * mu5, 0.0) + 1e-12)
-        mu = jnp.where(wide_mask[..., None], mu5, mu)
-        sigma = jnp.where(wide_mask[..., None], sigma5, sigma)
+        wm = (wide_mask > 0.5)[..., None]
+        mu = jnp.where(wm, mu5, mu)
+        sigma = jnp.where(wm, sigma5, sigma)
 
-    # bicubic history + variance clamp (Taa.cs.hlsl:122-147)
-    prev = pre if pre is not None else common.reproject(hist.color, mv_d, bicubic=True)
-    lo = mu - sigma * cfgmod.TAA_SIGMA_SCALE
-    hi = mu + sigma * cfgmod.TAA_SIGMA_SCALE
+    lo = mu - sigma * sigma_scale
+    hi = mu + sigma * sigma_scale
     clamped = jnp.clip(prev, lo, hi)
 
     # disocclusion-driven mix-rate boost via CIELAB just-noticeable-difference
@@ -98,7 +92,36 @@ def apply(hist: TaaHistory, cur: jnp.ndarray, mv: jnp.ndarray, view_z: jnp.ndarr
 
     offscreen = jnp.logical_not(common.in_screen(mv_d, h, w))
     mix = jnp.where(offscreen, 1.0, mix)
-    mix = jnp.where(jnp.logical_or(reset, hist.valid == 0), 1.0, mix)
+    mix = jnp.maximum(mix, reset_mix)
+    return clamped + (cur - clamped) * mix[..., None]
 
-    out = clamped + (cur - clamped) * mix[..., None]
+
+def apply(hist: TaaHistory, cur: jnp.ndarray, mv: jnp.ndarray, view_z: jnp.ndarray,
+          wide_mask: jnp.ndarray | None = None, reset=False,
+          base_mix: float = 0.1, pre=None):
+    """One TAA step. cur: (H, W, 3) current-frame color (post-composition HDR or
+    tonemapped — the reference runs TAA on tonemap-ish output). Returns
+    (antialiased, new history). pre: optional pre-gathered history sample
+    (requests() via the staged gather pass)."""
+    h, w = view_z.shape
+    mv_d = closest_velocity_dilation(mv[..., :2], view_z)
+
+    # bicubic history (Taa.cs.hlsl:122-123)
+    prev = pre if pre is not None else common.reproject(hist.color, mv_d, bicubic=True)
+    reset_mix = jnp.broadcast_to(
+        jnp.where(jnp.logical_or(reset, hist.valid == 0), 1.0, 0.0), (h, w)
+    ).astype(cur.dtype)
+    wide_f = None if wide_mask is None else wide_mask.astype(cur.dtype)
+
+    from nrdsample_tpu.ops.traversal import _tpu_platform
+
+    if _tpu_platform():
+        from nrdsample_tpu.denoise import taa_pallas
+
+        out = taa_pallas.taa_resolve(
+            cur, prev, mv_d, wide_f, reset_mix,
+            cfgmod.TAA_SIGMA_SCALE, base_mix)
+    else:
+        out = resolve_tail(cur, prev, mv_d, wide_f, reset_mix,
+                           cfgmod.TAA_SIGMA_SCALE, base_mix)
     return out, TaaHistory(color=out, valid=jnp.int32(1))
