@@ -27,11 +27,14 @@ from nrdsample_tpu.denoise import common
 class SigmaHistory:
     shadow: jnp.ndarray   # (H, W)
     frames: jnp.ndarray   # (H, W)
+    view_z: jnp.ndarray   # (H, W) — for the temporal disocclusion test
 
     @staticmethod
     def create(h: int, w: int, dtype=jnp.float32) -> "SigmaHistory":
         return SigmaHistory(
-            shadow=jnp.ones((h, w), dtype), frames=jnp.zeros((h, w), dtype)
+            shadow=jnp.ones((h, w), dtype),
+            frames=jnp.zeros((h, w), dtype),
+            view_z=jnp.full((h, w), 1e6, dtype),
         )
 
 
@@ -65,16 +68,23 @@ def _blur_radius(shadow_hit_dist, view_z, tan_sun_angular_radius,
 
 
 def _penumbra_blur(shadow, radius, view_z, s: SigmaSettings):
-    """Radius-gated dilated 3x3 chain — the penumbra-width blur as STATIC
+    """Reach-budgeted dilated 3x3 chain — the penumbra-width blur as STATIC
     shifts only. The rotated-Poisson gather form cost 584 ms at 1080p on the
     robust XLA emitter and 117 ms on the d=16 Pallas stencils; this chain is
-    ~15 ms. Each pass's neighbor weights fade in with radius/step, so a
-    contact shadow stays sharp while a far-occluder penumbra composes
-    successively wider Gaussians (NRD's SIGMA is likewise multi-pass)."""
+    ~15 ms. The per-pixel radius is a kernel-reach BUDGET consumed across
+    passes: each pass's neighbor gate is clip(remaining/step, 0, 1) and the
+    remaining budget shrinks by gate*step, so the cumulative kernel half-width
+    never exceeds the local penumbra half-width. (The previous independent
+    per-step gates let four dilated passes compose unconditionally wherever
+    the max-filtered radius was large, eroding the umbra entirely for far
+    occluders — round-4 regression, tests/test_wiring_r2.py.)"""
     out = shadow
     z_plane = view_z[..., None]
+    # half-pixel deadzone: sub-pixel penumbrae (contact shadows) stay sharp
+    remaining = jnp.maximum(radius - 0.5, 0.0)
     for step in _BLUR_STEPS:
-        gate = jnp.clip(radius / step - 0.5, 0.0, 1.0)
+        gate = jnp.clip(remaining / step, 0.0, 1.0)
+        remaining = jnp.maximum(remaining - gate * step, 0.0)
         packed = jnp.concatenate([out[..., None], z_plane], axis=-1)
         acc = jnp.zeros_like(out)
         acc_w = jnp.zeros_like(out)
@@ -96,11 +106,12 @@ def _penumbra_blur(shadow, radius, view_z, s: SigmaSettings):
 def requests(hist: SigmaHistory, shadow, shadow_hit_dist, view_z, mv,
              tan_sun_angular_radius, unproject: float, frame_idx,
              s: SigmaSettings = SigmaSettings()):
-    """Gather-pass plan: 'temporal' = [hist.shadow, hist.frames] at cur + mv
-    (the penumbra blur itself is a static-shift stencil chain — no gathers)."""
+    """Gather-pass plan: 'temporal' = [hist.shadow, hist.frames, hist.view_z]
+    at cur + mv (the penumbra blur itself is a static-shift stencil chain — no
+    gathers)."""
     h, w = view_z.shape
     t_pos = common.pixel_positions(h, w) + mv[..., :2]
-    t_plane = jnp.stack([hist.shadow, hist.frames], axis=-1)
+    t_plane = jnp.stack([hist.shadow, hist.frames, hist.view_z], axis=-1)
     return {"temporal": (t_plane, t_pos)}
 
 
@@ -127,10 +138,17 @@ def denoise(hist: SigmaHistory, shadow, shadow_hit_dist, view_z, mv,
     )
     blurred = _penumbra_blur(shadow, radius, view_z, s)
 
-    # temporal accumulation (short)
+    # temporal accumulation (short), rejected on disocclusion (NRD's SIGMA
+    # plane-distance test — reprojected shadow history must not survive
+    # depth discontinuities or it ghosts under camera motion)
     mv_xy = mv[..., :2]
     prev, prev_frames = pre["temporal"][..., 0], pre["temporal"][..., 1]
+    prev_z = pre["temporal"][..., 2]
+    mv_z = mv[..., 2] if mv.shape[-1] > 2 else jnp.zeros_like(view_z)
     valid = common.in_screen(mv_xy, h, w).astype(view_z.dtype)
+    valid = valid * common.disocclusion_weight(
+        view_z, mv_z, prev_z, threshold=s.disocclusion_threshold
+    )
     valid = jnp.where(reset, 0.0, valid)
     frames = jnp.minimum(prev_frames * valid + 1.0, s.max_accumulated_frames)
     alpha = 1.0 / frames
@@ -138,4 +156,4 @@ def denoise(hist: SigmaHistory, shadow, shadow_hit_dist, view_z, mv,
     out = jnp.where(valid > 0, out, blurred)
     out = jnp.clip(out, 0.0, 1.0)
 
-    return out, SigmaHistory(shadow=out, frames=frames)
+    return out, SigmaHistory(shadow=out, frames=frames, view_z=view_z)

@@ -135,6 +135,42 @@ class TestSigma:
         assert res[:, :8].mean() < 0.3
         assert res[:, -8:].mean() > 0.7
 
+    def test_contact_umbra_survives_wide_penumbra(self):
+        """Round-4 regression: the dilated blur chain must keep an umbra when
+        the reported penumbra radius is wide. A 20px-wide dark band with an
+        8px penumbra radius still has pixels < 0.1 after denoising."""
+        view_z, normal, mv = _static_geom()
+        band = (jnp.abs(jnp.arange(W) - W // 2) < 10)[None, :] * jnp.ones((H, W))
+        shadow = 1.0 - band
+        hit_dist = band * 8.0    # penumbra radius 8px vs 10px umbra half-width
+        hist = sigma.SigmaHistory.create(H, W)
+        out = None
+        for f in range(3):
+            out, hist = sigma.denoise(hist, shadow, hit_dist, view_z, mv, 0.05, 0.01, f)
+        res = np.asarray(out)
+        assert (res < 0.1).any(), f"umbra erased: min={res.min():.3f}"
+        soft = ((res > 0.12) & (res < 0.88)).mean()
+        assert soft > 0.05
+
+    def test_disocclusion_rejects_stale_history(self):
+        """SIGMA temporal must reject history across a depth discontinuity
+        (camera-motion ghosting guard): a fully-dark accumulated history on
+        near geometry must not bleed into a newly-revealed far surface."""
+        view_z, normal, mv = _static_geom()
+        dark = jnp.zeros((H, W))
+        lit = jnp.ones((H, W))
+        no_hit = jnp.zeros((H, W))
+        hist = sigma.SigmaHistory.create(H, W)
+        for f in range(4):  # accumulate dark shadow on z=5 geometry
+            _, hist = sigma.denoise(hist, dark, no_hit, view_z, mv, 0.05, 0.01, f)
+        # disocclusion: same pixels now see z=9 geometry, fully lit
+        far_z = jnp.full((H, W), 9.0)
+        out, _ = sigma.denoise(hist, lit, no_hit, far_z, mv, 0.05, 0.01, 4)
+        assert float(np.asarray(out).min()) > 0.95, "shadow ghosted across depth edge"
+        # control: unchanged depth keeps accumulating (history still used)
+        out2, _ = sigma.denoise(hist, lit, no_hit, view_z, mv, 0.05, 0.01, 4)
+        assert float(np.asarray(out2).mean()) < 0.5
+
 
 class TestTaa:
     def test_jitter_noise_suppressed(self):
