@@ -229,6 +229,8 @@ class Settings:
     # (RaytracingShared.hlsli:497-515)
     forced_material: jnp.ndarray = dataclasses.field(default_factory=lambda: jnp.int32(0))
     emission_intensity: jnp.ndarray = dataclasses.field(default_factory=lambda: jnp.float32(1.0))
+    # gUseNormalMap analogue (NRDSample.cpp Settings; RaytracingShared.hlsli:470)
+    use_normal_map: jnp.ndarray = dataclasses.field(default_factory=lambda: jnp.int32(1))
     debug: jnp.ndarray = dataclasses.field(default_factory=lambda: jnp.float32(0.0))
     separator: jnp.ndarray = dataclasses.field(default_factory=lambda: jnp.float32(0.0))
     max_accumulated_frame_num: jnp.ndarray = dataclasses.field(default_factory=lambda: jnp.int32(31))

@@ -22,7 +22,8 @@ T_MAX = traversal.T_MAX
 
 def decode_hit(scene: Scene, hit: dict, origin: jnp.ndarray, direction: jnp.ndarray,
                sun_dir: jnp.ndarray, tan_sun_radius, white_furnace: bool = False,
-               emission_scale=1.0, cone_width=None, forced_material=None):
+               emission_scale=1.0, cone_width=None, forced_material=None,
+               use_normal_map=None):
     """Build geometry+material props from a traversal result.
 
     Returns a dict with:
@@ -45,7 +46,8 @@ def decode_hit(scene: Scene, hit: dict, origin: jnp.ndarray, direction: jnp.ndar
     # is nearly free). material id rides along as float (< 2^24, exact).
     tri_pack = jnp.concatenate(
         [tr.p0, tr.e1, tr.e2, tr.n0, tr.n1, tr.n2, tr.uv0, tr.uv1, tr.uv2,
-         tr.world_area[:, None], tr.material.astype(f32)[:, None]],
+         tr.world_area[:, None], tr.material.astype(f32)[:, None],
+         tr.t0, tr.t1, tr.t2, tr.bitan_sign[:, None]],
         axis=1,
     )
     g = tri_pack[tri]
@@ -54,6 +56,8 @@ def decode_hit(scene: Scene, hit: dict, origin: jnp.ndarray, direction: jnp.ndar
     tuv0, tuv1, tuv2 = g[..., 18:20], g[..., 20:22], g[..., 22:24]
     world_area = g[..., 24]
     mat = g[..., 25].astype(jnp.int32)
+    tt0, tt1, tt2 = g[..., 26:29], g[..., 29:32], g[..., 32:35]
+    bitan_sign = g[..., 35]
 
     # differentiable hit position from detached (t, u, v): prefer barycentric
     # reconstruction so vertex-position gradients flow
@@ -75,6 +79,16 @@ def decode_hit(scene: Scene, hit: dict, origin: jnp.ndarray, direction: jnp.ndar
 
     uv = w[..., None] * tuv0 + u[..., None] * tuv1 + v_bc[..., None] * tuv2
 
+    # interpolated tangent, orthonormalized against the shading normal
+    # (RaytracingShared.hlsli:403-410: barycentric T + normalize; sign rides
+    # along for the bitangent handedness)
+    t_raw = w[..., None] * tt0 + u[..., None] * tt1 + v_bc[..., None] * tt2
+    t_raw = t_raw - n_smooth * geo.dot3(t_raw, n_smooth)[..., None]
+    t_fallback, _ = geo.orthonormal_basis(n_smooth)
+    tangent = geo.normalize(
+        jnp.where(geo.length(t_raw)[..., None] > 1e-6, t_raw, t_fallback)
+    )
+
     mats = scene.materials
     # same wide-gather trick for the material constants (flags as exact float)
     mat_pack = jnp.concatenate(
@@ -94,6 +108,7 @@ def decode_hit(scene: Scene, hit: dict, origin: jnp.ndarray, direction: jnp.ndar
     # MULTIPLY the material constants (glTF convention); texels are pytree
     # leaves so gradients flow into them (differentiable texture optimization)
     mip = jnp.zeros_like(t)
+    local_curv = jnp.zeros_like(t)
     if scene.textures is not None:
         from nrdsample_tpu.render import raycone
         from nrdsample_tpu.scene import textures as tex_mod
@@ -110,6 +125,35 @@ def decode_hit(scene: Scene, hit: dict, origin: jnp.ndarray, direction: jnp.ndar
         roughness = roughness * texel[..., 5]
         metalness = metalness * texel[..., 6]
         emission = emission * texel[..., 7:8]
+
+        # normal mapping (Geometry::TransformLocalNormal,
+        # RaytracingShared.hlsli:467-479): tangent-space XY from the map,
+        # Z reconstructed, rotated into the TBN frame; gUseNormalMap analogue
+        # is the dynamic `use_normal_map` scalar (1.0 default when None).
+        nm_gate = (jnp.float32(1.0) if use_normal_map is None
+                   else jnp.asarray(use_normal_map, f32))
+        n_local_xy = texel[..., 8:10] * nm_gate
+        n_local_z = jnp.sqrt(jnp.clip(
+            1.0 - jnp.sum(n_local_xy * n_local_xy, axis=-1), 1e-6, 1.0))
+        bitan = jnp.cross(n_smooth, tangent) * bitan_sign[..., None]
+        n_mapped = geo.normalize(
+            n_local_xy[..., 0:1] * tangent
+            + n_local_xy[..., 1:2] * bitan
+            + n_local_z[..., None] * n_smooth
+        )
+        # keep the mapped normal in the visible hemisphere, then re-orthogonalize
+        # the tangent against it so (T, B, N) stays a frame for hair/aniso
+        n_mapped = n_mapped * jnp.sign(geo.dot3(n_mapped, view))[..., None]
+        n_smooth = jnp.where(miss[..., None], n_smooth, n_mapped)
+        t_reproj = tangent - n_smooth * geo.dot3(tangent, n_smooth)[..., None]
+        tangent = geo.normalize(
+            jnp.where(geo.length(t_reproj)[..., None] > 1e-6, t_reproj, tangent)
+        )
+        # local curvature from the normal-map slope over the pixel footprint
+        # (RaytracingShared.hlsli:476-479: length(Nlocal.xy) / pixelSize);
+        # cone_width IS the footprint at the hit for camera rays
+        if cone_width is not None:
+            local_curv = geo.length(n_local_xy) / jnp.maximum(cone_width, 1e-6)
 
     if white_furnace:
         base_color = jnp.ones_like(base_color)
@@ -151,6 +195,7 @@ def decode_hit(scene: Scene, hit: dict, origin: jnp.ndarray, direction: jnp.ndar
         "v": view,
         "n": n_smooth,
         "n_geom": n_geom,
+        "tangent": tangent,
         "uv": uv,
         "mat": mat,
         "tri": hit["tri"],
@@ -161,12 +206,14 @@ def decode_hit(scene: Scene, hit: dict, origin: jnp.ndarray, direction: jnp.ndar
         "flags": flags,
         # curvature from vertex-normal divergence across the triangle edges
         # (RaytracingShared.hlsli:382-386): |dN|/|dX| per edge, worst edge
+        # geometric term (vertex-normal divergence, RaytracingShared.hlsli:
+        # 382-386) + normal-map local term (:476-479)
         "curvature": jnp.where(
             miss, 0.0,
             jnp.maximum(
                 geo.length(tn1 - tn0) * geo.positive_rcp(geo.length(e1)),
                 geo.length(tn2 - tn0) * geo.positive_rcp(geo.length(e2)),
-            ),
+            ) + local_curv,
         ),
         "mip": mip,
     }

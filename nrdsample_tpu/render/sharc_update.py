@@ -138,6 +138,7 @@ def _trace_probe_paths(ctxs, scene: Scene, cam: Camera,
         scene, hit, origin, direction, sun_dir, tan_sun, cfg.use_white_furnace,
         settings.emission_intensity,
         forced_material=settings.forced_material,
+            use_normal_map=settings.use_normal_map,
     )
 
     alive = jnp.logical_not(props["miss"])
@@ -188,6 +189,7 @@ def _trace_probe_paths(ctxs, scene: Scene, cam: Camera,
             scene, hit, xo, ray, sun_dir, tan_sun, cfg.use_white_furnace,
             settings.emission_intensity,
             forced_material=settings.forced_material,
+            use_normal_map=settings.use_normal_map,
         )
         # dynamic-object heuristic: static origin, dynamic hit -> inject an
         # AO-style hitT term (exposure-independent, SharcUpdate.cs.hlsl:187-190)

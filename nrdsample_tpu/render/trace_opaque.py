@@ -302,7 +302,8 @@ def trace_paths(ctx: traversal.TraceContext, scene: Scene, cam: Camera,
             props = gbuffer.decode_hit(
                 scene, hit, xo, ray, sun_dir, tan_sun, cfg.use_white_furnace,
                 settings.emission_intensity,
-                forced_material=settings.forced_material, cone_width=cone["width"],
+                forced_material=settings.forced_material,
+            use_normal_map=settings.use_normal_map, cone_width=cone["width"],
             )
 
             # ---- radiance at the hit (TraceOpaque.cs.hlsl:291-371) ----
@@ -312,6 +313,7 @@ def trace_paths(ctx: traversal.TraceContext, scene: Scene, cam: Camera,
                 props["n"], props["v"], props["base_color"], props["metalness"],
                 props["roughness"], sun_dir, tan_sun, cfg.use_white_furnace,
                 flags=props["flags"] if cfg.use_hair_sss else None,
+                tangent=props["tangent"] if cfg.use_hair_sss else None,
             )
             # deferred shadow ray params (batched launch after the loop);
             # everything downstream is computed for BOTH shadow outcomes
@@ -563,6 +565,7 @@ def psr_walk(ctx, scene, cfg, settings, frame, pixel_idx, props, view_z, cam,
             scene, hit, xo, ray, sun_dir, tan_sun, cfg.use_white_furnace,
             settings.emission_intensity,
             forced_material=settings.forced_material,
+            use_normal_map=settings.use_normal_map,
         )
         # accumulate emission seen through the mirror chain
         new_throughput = throughput * f
@@ -628,7 +631,8 @@ def trace_opaque(ctx: traversal.TraceContext, scene: Scene, cam: Camera,
     props = gbuffer.decode_hit(
         scene, hit, origin, direction, sun_dir, tan_sun, cfg.use_white_furnace,
         settings.emission_intensity,
-        forced_material=settings.forced_material, cone_width=cone["width"],
+        forced_material=settings.forced_material,
+            use_normal_map=settings.use_normal_map, cone_width=cone["width"],
     )
     props = gbuffer.apply_overrides(
         props, settings.roughness_override, settings.metalness_override
@@ -679,6 +683,7 @@ def trace_opaque(ctx: traversal.TraceContext, scene: Scene, cam: Camera,
         props["n"], props["v"], props["base_color"], props["metalness"],
         props["roughness"], sun_dir, tan_sun, cfg.use_white_furnace,
         flags=props["flags"] if cfg.use_hair_sss else None,
+        tangent=props["tangent"] if cfg.use_hair_sss else None,
     )
     direct = jnp.where(props["miss"][..., None], 0.0, direct)
     emission = jnp.where(

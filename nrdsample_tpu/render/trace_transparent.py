@@ -126,6 +126,7 @@ def _delta_chain(ctxs, scene, cfg: RenderConfig, settings, frame, pixel_idx,
             scene, hit, xo, ray, sun_dir, tan_sun, cfg.use_white_furnace,
             settings.emission_intensity,
             forced_material=settings.forced_material,
+            use_normal_map=settings.use_normal_map,
         )
 
         # Beer-Lambert absorption through the medium (TraceTransparent:81-84)
@@ -223,6 +224,7 @@ def trace_transparent_color(ctxs: traversal.SceneContexts, scene: Scene,
         scene, hit, origin, direction, sun_dir, tan_sun, cfg.use_white_furnace,
         settings.emission_intensity,
         forced_material=settings.forced_material,
+            use_normal_map=settings.use_normal_map,
     )
 
     # BOTH delta chains (reflection + refraction, TraceTransparent.cs.hlsl:

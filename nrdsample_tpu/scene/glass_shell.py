@@ -74,5 +74,10 @@ def add_inner_glass_surfaces(scene: Scene, thickness: float = 0.05) -> Scene:
         uv2=cat(tr.uv2, np.asarray(tr.uv1)[idx]),
         material=cat(tr.material, mat[idx]),
         world_area=cat(tr.world_area, np.asarray(tr.world_area)[idx] * s * s),
+        # inner shell: keep tangents, swap t1/t2 with the winding flip
+        t0=cat(tr.t0, np.asarray(tr.t0)[idx]),
+        t1=cat(tr.t1, np.asarray(tr.t2)[idx]),
+        t2=cat(tr.t2, np.asarray(tr.t1)[idx]),
+        bitan_sign=cat(tr.bitan_sign, -np.asarray(tr.bitan_sign)[idx]),
     )
     return dataclasses.replace(scene, tris=new_tris)

@@ -234,7 +234,7 @@ def load_gltf(path: str, max_emissive: int | None = None, load_textures: bool = 
         emission, ior, flags = [[0, 0, 0]], [1.5], [config.FLAG_NON_TRANSPARENT | config.FLAG_STATIC]
 
     # walk node hierarchy to gather world-transformed primitives
-    all_v, all_n, all_uv, all_i, all_m = [], [], [], [], []
+    all_v, all_n, all_uv, all_i, all_m, all_t = [], [], [], [], [], []
     voffset = 0
 
     def visit(node_idx: int, parent: np.ndarray):
@@ -264,6 +264,15 @@ def load_gltf(path: str, max_emissive: int | None = None, load_textures: bool = 
                     if "TEXCOORD_0" in attrs
                     else np.zeros((len(pos), 2), np.float32)
                 )
+                if "TANGENT" in attrs:
+                    tan = _read_accessor(doc, buffers, attrs["TANGENT"]).astype(np.float32)
+                    tan_w = np.concatenate(
+                        [tan[:, :3] @ world[:3, :3].T, tan[:, 3:4]], axis=-1
+                    )
+                    tlen = np.linalg.norm(tan_w[:, :3], axis=-1, keepdims=True)
+                    tan_w[:, :3] /= np.maximum(tlen, 1e-20)
+                else:
+                    tan_w = None
                 if "indices" in prim:
                     idx = _read_accessor(doc, buffers, prim["indices"]).reshape(-1)
                 else:
@@ -275,6 +284,7 @@ def load_gltf(path: str, max_emissive: int | None = None, load_textures: bool = 
                     nrm_w if nrm_w is not None else _flat_normals(pos_w, idx)
                 )
                 all_uv.append(uv)
+                all_t.append(tan_w)
                 all_i.append(idx + voffset)
                 all_m.append(np.full(len(idx), mat_id, np.int32))
                 voffset += len(pos)
@@ -291,10 +301,17 @@ def load_gltf(path: str, max_emissive: int | None = None, load_textures: bool = 
     uvs = np.concatenate(all_uv)
     indices = np.concatenate(all_i).astype(np.int32)
     tri_mat = np.concatenate(all_m)
+    # tangents only if EVERY primitive carries them (mixed meshes fall back
+    # to UV-derived tangents in build_triangle_soa)
+    tangents = (
+        np.concatenate(all_t) if all_t and all(t is not None for t in all_t)
+        else None
+    )
 
     import jax.numpy as jnp
 
-    tris = build_triangle_soa(verts, indices, normals, uvs, tri_mat)
+    tris = build_triangle_soa(verts, indices, normals, uvs, tri_mat,
+                              tangents=tangents)
     materials = Materials(
         base_color=np.asarray(np.array(base_color, np.float32)),
         metalness=np.asarray(np.array(metalness, np.float32)),

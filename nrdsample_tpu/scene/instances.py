@@ -90,6 +90,7 @@ def transform_scene(inst: InstancedScene, transforms: jnp.ndarray) -> Scene:
         tr,
         p0=xf_point(tr.p0), e1=xf_vec(tr.e1), e2=xf_vec(tr.e2),
         n0=xf_normal(tr.n0), n1=xf_normal(tr.n1), n2=xf_normal(tr.n2),
+        t0=xf_normal(tr.t0), t1=xf_normal(tr.t1), t2=xf_normal(tr.t2),
     )
     return dataclasses.replace(inst.scene, tris=new_tris)
 

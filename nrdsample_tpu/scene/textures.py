@@ -14,10 +14,11 @@ gathers + lerps, vectorized over the whole ray batch. Build-time resampling is
 host-side numpy (the analogue of the reference's detex texture upload,
 UploadStaticData NRDSample.cpp:3308-3393).
 
-Layers: RGBA base color+alpha, RG normal (octahedral-ish tangent-space XY),
-R roughness, R metalness, RGB emissive — packed as two arrays:
-  * ``rgba``: (M, H, W, 4)  base color + alpha
-  * ``orme``: (M, H, W, 4)  occlusion, roughness, metalness, emissive-luma
+Layers (one packed (M, H, W, 10) array per mip level):
+  * [0:4]  rgba: base color + alpha
+  * [4:8]  orme: occlusion, roughness, metalness, emissive-luma
+  * [8:10] normal: tangent-space normal XY in [-1, 1] (0 = flat); Z is
+           reconstructed at shade time (Geometry::UnpackLocalNormal analogue)
 (emissive keeps the material-constant color, scaled by the map's luma — the
 reference multiplies the emissive map by instance emission anyway.)
 """
@@ -37,9 +38,10 @@ from nrdsample_tpu import config
 @dataclasses.dataclass
 class TextureSet:
     """Stacked mip pyramids for all materials. ``levels[l]`` has shape
-    (M, H>>l, W>>l, 8): rgba ++ orme. Python list length = static mip count."""
+    (M, H>>l, W>>l, 10): rgba ++ orme ++ normal-XY. Python list length =
+    static mip count."""
 
-    levels: list  # of (M, h, w, 8) arrays
+    levels: list  # of (M, h, w, 10) arrays
 
     @property
     def n_mips(self) -> int:
@@ -58,8 +60,10 @@ def _box_downsample(img: np.ndarray) -> np.ndarray:
 def build_texture_set(per_material: list, res: int = 128) -> TextureSet:
     """per_material: list of dicts with optional numpy images in [0,1]:
     ``base_color`` (h,w,3|4), ``roughness`` (h,w), ``metalness`` (h,w),
-    ``emissive`` (h,w[,3]), ``alpha`` (h,w). Missing maps become constant 1
-    (multiplied with the Materials constants at shade time)."""
+    ``emissive`` (h,w[,3]), ``alpha`` (h,w), ``normal`` (h,w,2|3) tangent-space
+    in [0,1] image convention (0.5 = flat) or [-1,1] if signed. Missing maps
+    become constant 1 (multiplied with the Materials constants at shade time);
+    a missing normal map becomes flat (0, 0)."""
     assert res & (res - 1) == 0, "texture res must be a power of two"
     mats = []
     for m in per_material or [{}]:
@@ -86,9 +90,18 @@ def build_texture_set(per_material: list, res: int = 128) -> TextureSet:
         rough = fetch("roughness", 1)
         metal = fetch("metalness", 1)
         emis = fetch("emissive", 1)
-        mats.append(np.concatenate([rgb, alpha, occ, rough, metal, emis], axis=-1))
+        nrm_img = m.get("normal")
+        if nrm_img is None:
+            nxy = np.zeros((res, res, 2), np.float32)
+        else:
+            nrm_img = np.asarray(nrm_img, np.float32)[..., :2]
+            if nrm_img.min() >= 0.0:   # [0,1] image convention -> [-1,1]
+                nrm_img = nrm_img * 2.0 - 1.0
+            nxy = _resize_pow2(nrm_img, res)
+        mats.append(np.concatenate([rgb, alpha, occ, rough, metal, emis, nxy],
+                                   axis=-1))
 
-    stack = np.stack(mats)  # (M, res, res, 8)
+    stack = np.stack(mats)  # (M, res, res, 10)
     levels = [stack]
     while levels[-1].shape[1] > 1:
         levels.append(
@@ -111,7 +124,7 @@ def constant_texture_set(n_materials: int, res: int = 4) -> TextureSet:
 
 
 def _fetch_bilinear(level: jnp.ndarray, mat: jnp.ndarray, uv: jnp.ndarray) -> jnp.ndarray:
-    """level: (M, h, w, 8); mat: (N,) int32; uv: (N, 2) in [0,1) wrap."""
+    """level: (M, h, w, 10); mat: (N,) int32; uv: (N, 2) in [0,1) wrap."""
     h, w = level.shape[1], level.shape[2]
     x = uv[..., 0] * w - 0.5
     y = uv[..., 1] * h - 0.5
@@ -142,7 +155,7 @@ def _fetch_bilinear(level: jnp.ndarray, mat: jnp.ndarray, uv: jnp.ndarray) -> jn
 def sample(ts: TextureSet, mat: jnp.ndarray, uv: jnp.ndarray, mip) -> jnp.ndarray:
     """Trilinear sample: (N,) material ids, (N, 2) uv, (N,) continuous mip.
 
-    Returns (N, 8) = rgba ++ orme. Mip is clamped to the pyramid; the two
+    Returns (N, 10) = rgba ++ orme ++ normal-XY. Mip is clamped to the pyramid; the two
     adjacent levels are fetched with bilinear taps and lerped — the analogue of
     ``SampleLevel`` with the ray-cone mip (RaytracingShared.hlsli:154-189).
 
@@ -155,7 +168,7 @@ def sample(ts: TextureSet, mat: jnp.ndarray, uv: jnp.ndarray, mip) -> jnp.ndarra
     l0 = jnp.floor(mip).astype(jnp.int32)
     frac = (mip - l0.astype(jnp.float32))[..., None]
 
-    out0 = jnp.zeros(uv.shape[:-1] + (8,), ts.levels[0].dtype)
+    out0 = jnp.zeros(uv.shape[:-1] + (10,), ts.levels[0].dtype)
     out1 = jnp.zeros_like(out0)
     for l, level in enumerate(ts.levels):
         v = _fetch_bilinear(level, mat, uv)

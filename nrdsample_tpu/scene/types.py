@@ -50,6 +50,14 @@ class TriangleSoA:
     uv2: jnp.ndarray   # (T, 2)
     material: jnp.ndarray  # (T,) int32
     world_area: jnp.ndarray  # (T,) for emissive IS + ray-cone spread
+    # per-vertex tangents + shared bitangent sign (the reference packs these
+    # per vertex, RaytracingShared.hlsli:398-412 DecodeUnitVector(t0..t2) +
+    # primitiveData.bitangentSign; here full fp32 SoA — HBM is the budget,
+    # not vertex-buffer bytes)
+    t0: jnp.ndarray    # (T, 3)
+    t1: jnp.ndarray    # (T, 3)
+    t2: jnp.ndarray    # (T, 3)
+    bitan_sign: jnp.ndarray  # (T,)
 
     @property
     def count(self) -> int:
@@ -170,8 +178,15 @@ def look_at(eye, target, up=(0.0, 0.0, 1.0), fov_y_deg: float = 60.0, aspect: fl
 
 
 def build_triangle_soa(vertices: np.ndarray, indices: np.ndarray, normals: np.ndarray | None,
-                       uvs: np.ndarray | None, material: np.ndarray) -> TriangleSoA:
-    """Assemble the SoA from indexed mesh arrays (numpy, host side)."""
+                       uvs: np.ndarray | None, material: np.ndarray,
+                       tangents: np.ndarray | None = None) -> TriangleSoA:
+    """Assemble the SoA from indexed mesh arrays (numpy, host side).
+
+    ``tangents``: optional (V, 4) glTF-style per-vertex tangents (xyz +
+    bitangent-sign w). When absent they are DERIVED per triangle from the UV
+    parameterization (the standard dp/du construction); triangles with a
+    degenerate UV chart fall back to an arbitrary tangent of the geometric
+    normal. Reference: RaytracingShared.hlsli:398-412 (per-vertex decode)."""
     vertices = np.asarray(vertices, np.float32)
     indices = np.asarray(indices, np.int32)
     p0 = vertices[indices[:, 0]]
@@ -192,6 +207,29 @@ def build_triangle_soa(vertices: np.ndarray, indices: np.ndarray, normals: np.nd
     else:
         uvs = np.asarray(uvs, np.float32)
         uv0, uv1, uv2 = (uvs[indices[:, k]] for k in range(3))
+    if tangents is not None:
+        tangents = np.asarray(tangents, np.float32)
+        t0, t1, t2 = (tangents[indices[:, k], :3] for k in range(3))
+        bitan_sign = tangents[indices[:, 0], 3]
+    else:
+        # derive one tangent per triangle from the UV chart: solve
+        # [e1 e2] = [T B] @ [[du1 du2],[dv1 dv2]]  =>  T = (e1*dv2 - e2*dv1)/det
+        duv1 = np.asarray(uv1, np.float32) - np.asarray(uv0, np.float32)
+        duv2 = np.asarray(uv2, np.float32) - np.asarray(uv0, np.float32)
+        det = duv1[:, 0] * duv2[:, 1] - duv2[:, 0] * duv1[:, 1]
+        ok = np.abs(det) > 1e-12
+        inv = np.where(ok, 1.0 / np.where(ok, det, 1.0), 0.0)
+        tang = (e1 * duv2[:, 1:2] - e2 * duv1[:, 1:2]) * inv[:, None]
+        # degenerate chart: arbitrary tangent of the geometric normal
+        gnn = gn / np.maximum(np.linalg.norm(gn, axis=-1, keepdims=True), 1e-20)
+        alt = np.cross(gnn, np.where(np.abs(gnn[:, 2:3]) < 0.9,
+                                     np.array([0.0, 0.0, 1.0], np.float32),
+                                     np.array([1.0, 0.0, 0.0], np.float32)))
+        tlen = np.linalg.norm(tang, axis=-1, keepdims=True)
+        good = (ok[:, None]) & (tlen > 1e-12)
+        tang = np.where(good, tang / np.maximum(tlen, 1e-20), alt)
+        t0 = t1 = t2 = tang.astype(np.float32)
+        bitan_sign = np.where(det < 0.0, -1.0, 1.0).astype(np.float32)
     # NOTE: stays host-side numpy — one batched upload happens at the end of
     # build_context (scene_to_device). Eager per-array jnp conversion here cost
     # 10s+ per readback over the TPU tunnel (downloads in make_scene).
@@ -203,6 +241,9 @@ def build_triangle_soa(vertices: np.ndarray, indices: np.ndarray, normals: np.nd
         uv2=np.asarray(uv2, np.float32),
         material=np.asarray(material, np.int32),
         world_area=np.asarray(area, np.float32),
+        t0=np.asarray(t0, np.float32), t1=np.asarray(t1, np.float32),
+        t2=np.asarray(t2, np.float32),
+        bitan_sign=np.asarray(bitan_sign, np.float32),
     )
 
 
