@@ -193,6 +193,10 @@ class RenderConfig:
     enable_post: bool = False         # tonemap + Final pass -> outputs["display"]
     dtype: Any = jnp.float32          # compute dtype for shading
     # stress tests + sanitization (SURVEY.md §4.4, Shared.hlsli:28-45)
+    # USE_MOVING_EMISSION_FIX (Shared.hlsli:23, default ON): fold primary
+    # emission /2pi into the denoised diff/spec signals so animated emitters
+    # don't leave a dark history tail (TraceOpaque.cs.hlsl:714-718)
+    use_moving_emission_fix: bool = True
     use_inf_stress_test: bool = False
     use_drs_stress_test: bool = False
     use_firefly_test: bool = False        # USE_SIMULATED_FIREFLY_TEST
@@ -228,9 +232,28 @@ class Settings:
     # decode like the reference's GetMaterialProps forced-material branch
     # (RaytracingShared.hlsli:497-515)
     forced_material: jnp.ndarray = dataclasses.field(default_factory=lambda: jnp.int32(0))
+    # lights/cubes emission split (NRDSample.cpp:243-244
+    # emissionIntensityLights / emissionIntensityCubes): `emission_intensity`
+    # scales regular emissive materials, `emission_intensity_cubes` scales
+    # FLAG_FORCED_EMISSION materials (the animated emissive cubes)
     emission_intensity: jnp.ndarray = dataclasses.field(default_factory=lambda: jnp.float32(1.0))
+    emission_intensity_cubes: jnp.ndarray = dataclasses.field(default_factory=lambda: jnp.float32(1.0))
     # gUseNormalMap analogue (NRDSample.cpp Settings; RaytracingShared.hlsli:470)
     use_normal_map: jnp.ndarray = dataclasses.field(default_factory=lambda: jnp.int32(1))
+    # indirect kill switches (NRDSample.cpp Settings.indirectDiffuse/-Specular):
+    # zero the traced indirect signals before denoising (debug ergonomics)
+    indirect_diffuse: jnp.ndarray = dataclasses.field(default_factory=lambda: jnp.int32(1))
+    indirect_specular: jnp.ndarray = dataclasses.field(default_factory=lambda: jnp.int32(1))
+    # dynamic vertical FoV in degrees; 0 = keep the camera's own
+    # (Settings.camFov, NRDSample.cpp:237)
+    cam_fov: jnp.ndarray = dataclasses.field(default_factory=lambda: jnp.float32(0.0))
+    # blink: pulse the emissive cubes (Settings.blink) — cubes intensity is
+    # modulated by a smooth pulse of the frame index
+    blink: jnp.ndarray = dataclasses.field(default_factory=lambda: jnp.int32(0))
+    # MV_25D (0) vs MV_3D (1): which motion-vector encoding lands in the
+    # upscaler guide plane (Settings.mvType; the denoisers always consume the
+    # screen-space form internally)
+    mv_type: jnp.ndarray = dataclasses.field(default_factory=lambda: jnp.int32(0))
     debug: jnp.ndarray = dataclasses.field(default_factory=lambda: jnp.float32(0.0))
     separator: jnp.ndarray = dataclasses.field(default_factory=lambda: jnp.float32(0.0))
     max_accumulated_frame_num: jnp.ndarray = dataclasses.field(default_factory=lambda: jnp.int32(31))

@@ -613,7 +613,7 @@ def image_frame_finish(cfg: RenderConfig, settings: Settings, cam: Camera,
 
         nrr_params = neural_rr.load_weights()
         if nrr_params is not None:
-            rg = guides_mod.rr_guides(gb, near=0.01)
+            rg = guides_mod.rr_guides(gb, near=0.01, mv_type=settings.mv_type)
             rr_g = {
                 "diff_albedo": img(rg["diff_albedo"]),
                 "spec_albedo": img(rg["spec_albedo"]),
@@ -781,6 +781,27 @@ def render_frame(ctx: traversal.TraceContext, scene: Scene, cam: Camera,
     image_frame on global row-sharded images so denoiser stencils are exact at
     shard boundaries (sharded == unsharded).
     """
+    # dynamic camFov (Settings.camFov, NRDSample.cpp:237): 0 keeps the
+    # camera's own FoV; traced scalar, so no recompile on change
+    fov = jnp.asarray(settings.cam_fov, jnp.float32)
+    cam = dataclasses.replace(
+        cam,
+        tan_half_fov_y=jnp.where(
+            fov > 0.0, jnp.tan(jnp.deg2rad(fov * 0.5)), cam.tan_half_fov_y
+        ),
+    )
+    # blink (Settings.blink): smooth pulse on the emissive cubes' intensity
+    blink_wave = 0.5 + 0.5 * jnp.sin(
+        history.frame_index.astype(jnp.float32) * 0.4
+    )
+    settings = dataclasses.replace(
+        settings,
+        emission_intensity_cubes=jnp.where(
+            settings.blink > 0,
+            settings.emission_intensity_cubes * blink_wave,
+            settings.emission_intensity_cubes,
+        ),
+    )
     gb, aux = trace_frame(
         ctx, scene, cam, cfg, settings, history,
         pixel_idx=pixel_idx, dynamics=dynamics,

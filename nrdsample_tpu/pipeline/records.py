@@ -63,6 +63,7 @@ CHECK_ME: dict[str, list[int]] = {
     "interior-night": [
         0,
         9,    # hair/SSS (RTXCR slot)
+        147,  # blinking emitters (moving-emission fix + lights/cubes split)
     ],
     "cornellbox-glass": [
         2,    # SIGMA translucency march

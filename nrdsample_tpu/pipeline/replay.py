@@ -101,7 +101,8 @@ def render_record(contexts: dict, scene_name: str, index: int, res: int = 32):
     frames = (animation or {}).get("frames", 1)
     out = None
     for step in range(frames):
-        frame_cam = orbit_cam(cam, step, frames) if animation else cam
+        use_orbit = animation and animation.get("mode", "orbit") == "orbit"
+        frame_cam = orbit_cam(cam, step, frames) if use_orbit else cam
         out, hist = frame_mod.render_frame(
             ctx, scene, frame_cam, cfg, settings, hist,
             reset_history=(step == 0),  # forced history reset on record load

@@ -27,8 +27,12 @@ def hw_depth(view_z: jnp.ndarray, near: float, far: float = 1e5) -> jnp.ndarray:
     return jnp.clip(near / z, 0.0, 1.0)
 
 
-def rr_guides(gb: dict, near: float) -> dict:
-    """Guide-buffer dict from the G-buffer (flat [N, ...] layout)."""
+def rr_guides(gb: dict, near: float, mv_type=None) -> dict:
+    """Guide-buffer dict from the G-buffer (flat [N, ...] layout).
+
+    mv_type (Settings.mvType): None/0 exports the screen-space 2.5D motion,
+    1 exports world-space 3D motion (gb["mv_world"]) in the "mv" slot —
+    matching the reference's gMvType switch for the upscaler inputs."""
     base_color = gb["base_color"]
     metalness = gb["metalness"]
     roughness = gb["roughness"]
@@ -50,5 +54,10 @@ def rr_guides(gb: dict, near: float) -> dict:
             [normal, roughness[..., None]], axis=-1
         ),
         "spec_hitdist": gb.get("spec_hitdist", jnp.zeros_like(view_z)),
-        "mv": gb["mv"],
+        "mv": (
+            gb["mv"] if mv_type is None or "mv_world" not in gb
+            else jnp.where(
+                jnp.asarray(mv_type, jnp.int32) > 0, gb["mv_world"], gb["mv"]
+            )
+        ),
     }

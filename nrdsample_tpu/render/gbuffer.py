@@ -23,7 +23,7 @@ T_MAX = traversal.T_MAX
 def decode_hit(scene: Scene, hit: dict, origin: jnp.ndarray, direction: jnp.ndarray,
                sun_dir: jnp.ndarray, tan_sun_radius, white_furnace: bool = False,
                emission_scale=1.0, cone_width=None, forced_material=None,
-               use_normal_map=None):
+               use_normal_map=None, emission_scale_cubes=None):
     """Build geometry+material props from a traversal result.
 
     Returns a dict with:
@@ -100,8 +100,19 @@ def decode_hit(scene: Scene, hit: dict, origin: jnp.ndarray, direction: jnp.ndar
     base_color = mg[..., 0:3]
     roughness = mg[..., 3]
     metalness = mg[..., 4]
-    emission = mg[..., 5:8] * emission_scale
     flags = mg[..., 8].astype(jnp.int32)
+    # lights/cubes emission split (NRDSample.cpp:243-244): forced-emission
+    # materials (animated cubes) get their own intensity scale
+    if emission_scale_cubes is not None:
+        from nrdsample_tpu import config as cfgmod
+
+        is_cube = (flags & cfgmod.FLAG_FORCED_EMISSION) != 0
+        e_scale = jnp.where(is_cube,
+                            jnp.asarray(emission_scale_cubes, f32),
+                            jnp.asarray(emission_scale, f32))[..., None]
+    else:
+        e_scale = emission_scale
+    emission = mg[..., 5:8] * e_scale
 
     # material textures with ray-cone mip (GetMaterialProps' 4 bindless
     # fetches, RaytracingShared.hlsli:424-555; LOD :154-189). Texture values

@@ -139,6 +139,7 @@ def _trace_probe_paths(ctxs, scene: Scene, cam: Camera,
         settings.emission_intensity,
         forced_material=settings.forced_material,
             use_normal_map=settings.use_normal_map,
+            emission_scale_cubes=settings.emission_intensity_cubes,
     )
 
     alive = jnp.logical_not(props["miss"])
@@ -190,6 +191,7 @@ def _trace_probe_paths(ctxs, scene: Scene, cam: Camera,
             settings.emission_intensity,
             forced_material=settings.forced_material,
             use_normal_map=settings.use_normal_map,
+            emission_scale_cubes=settings.emission_intensity_cubes,
         )
         # dynamic-object heuristic: static origin, dynamic hit -> inject an
         # AO-style hitT term (exposure-independent, SharcUpdate.cs.hlsl:187-190)

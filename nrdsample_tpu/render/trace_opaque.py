@@ -303,7 +303,8 @@ def trace_paths(ctx: traversal.TraceContext, scene: Scene, cam: Camera,
                 scene, hit, xo, ray, sun_dir, tan_sun, cfg.use_white_furnace,
                 settings.emission_intensity,
                 forced_material=settings.forced_material,
-            use_normal_map=settings.use_normal_map, cone_width=cone["width"],
+            use_normal_map=settings.use_normal_map,
+            emission_scale_cubes=settings.emission_intensity_cubes, cone_width=cone["width"],
             )
 
             # ---- radiance at the hit (TraceOpaque.cs.hlsl:291-371) ----
@@ -486,6 +487,19 @@ def trace_paths(ctx: traversal.TraceContext, scene: Scene, cam: Camera,
     radiance_norm = 1.0 / float(cfg.rpp)
     diff_radiance = diff_radiance / diff_factor0 * radiance_norm
     spec_radiance = spec_radiance / spec_factor0 * radiance_norm
+    # indirect kill switches (NRDSample.cpp Settings.indirectDiffuse /
+    # indirectSpecular): zero the traced indirect signal, debug ergonomics
+    diff_radiance = diff_radiance * settings.indirect_diffuse.astype(f32)
+    spec_radiance = spec_radiance * settings.indirect_specular.astype(f32)
+    if cfg.use_moving_emission_fix:
+        # USE_MOVING_EMISSION_FIX (TraceOpaque.cs.hlsl:714-718): primary
+        # emission /2pi rides in BOTH denoised signals (post-demodulation,
+        # like the reference) so a moving emitter's reprojected history stays
+        # lit where the emitter just was instead of leaving a dark tail
+        emi0 = jnp.where(props0["miss"][..., None], 0.0, props0["lemi"])
+        emi0 = emi0 / (2.0 * jnp.pi)
+        diff_radiance = diff_radiance + emi0
+        spec_radiance = spec_radiance + emi0
     diff_norm = jnp.where(diff_path_num > 0, 1.0 / jnp.maximum(diff_path_num, 1.0), 0.0)
     spec_cnt = path_num - diff_path_num
     spec_norm = jnp.where(spec_cnt > 0, 1.0 / jnp.maximum(spec_cnt, 1.0), 0.0)
@@ -566,6 +580,7 @@ def psr_walk(ctx, scene, cfg, settings, frame, pixel_idx, props, view_z, cam,
             settings.emission_intensity,
             forced_material=settings.forced_material,
             use_normal_map=settings.use_normal_map,
+            emission_scale_cubes=settings.emission_intensity_cubes,
         )
         # accumulate emission seen through the mirror chain
         new_throughput = throughput * f
@@ -632,7 +647,8 @@ def trace_opaque(ctx: traversal.TraceContext, scene: Scene, cam: Camera,
         scene, hit, origin, direction, sun_dir, tan_sun, cfg.use_white_furnace,
         settings.emission_intensity,
         forced_material=settings.forced_material,
-            use_normal_map=settings.use_normal_map, cone_width=cone["width"],
+            use_normal_map=settings.use_normal_map,
+            emission_scale_cubes=settings.emission_intensity_cubes, cone_width=cone["width"],
     )
     props = gbuffer.apply_overrides(
         props, settings.roughness_override, settings.metalness_override
@@ -676,6 +692,10 @@ def trace_opaque(ctx: traversal.TraceContext, scene: Scene, cam: Camera,
         x_prev = props["x"]
     x_prev_virt = x_for_gbuf + (x_prev - props["x"])
     mv = cam_mod.get_motion(cam, x_for_gbuf, x_prev_virt, cfg.width, cfg.height)
+    # MV_3D encoding (Settings.mvType): world-space motion delta; exported to
+    # the upscaler guides when mv_type == 1 (the screen-space 2.5D form above
+    # is what the in-repo denoisers always reproject with)
+    mv_world = x_prev_virt - x_for_gbuf
 
     # direct lighting at the primary hit: sun (unshadowed; SIGMA provides the
     # shadow at composition) + emission (TraceOpaque.cs.hlsl:663-706)
@@ -716,6 +736,7 @@ def trace_opaque(ctx: traversal.TraceContext, scene: Scene, cam: Camera,
     return {
         "view_z": view_z,
         "mv": mv,
+        "mv_world": mv_world,
         "normal": gb_normal,
         "roughness": props["roughness"],
         "metalness": props["metalness"],

@@ -127,6 +127,7 @@ def _delta_chain(ctxs, scene, cfg: RenderConfig, settings, frame, pixel_idx,
             settings.emission_intensity,
             forced_material=settings.forced_material,
             use_normal_map=settings.use_normal_map,
+            emission_scale_cubes=settings.emission_intensity_cubes,
         )
 
         # Beer-Lambert absorption through the medium (TraceTransparent:81-84)
@@ -225,6 +226,7 @@ def trace_transparent_color(ctxs: traversal.SceneContexts, scene: Scene,
         settings.emission_intensity,
         forced_material=settings.forced_material,
             use_normal_map=settings.use_normal_map,
+            emission_scale_cubes=settings.emission_intensity_cubes,
     )
 
     # BOTH delta chains (reflection + refraction, TraceTransparent.cs.hlsl:
