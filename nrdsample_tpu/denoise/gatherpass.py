@@ -48,15 +48,19 @@ def execute(requests: dict, modes: dict) -> dict:
 
 
 def execute_inline(requests: dict, modes: dict) -> dict:
-    """Reference path: the same requests with the robust tap gathers, safe to
-    embed in a monolithic program (used when no staged gather pass runs)."""
+    """Reference path: the same requests inline in a monolithic program.
+
+    Bilinear requests ride the tiered Pallas bounded-displacement stencil on
+    TPU (ops/reproject.sample_bilinear_auto); bicubic requests decompose into
+    5 such taps (the taa_pallas trick) — the robust XLA tap emitter that
+    previously served the bicubic here dominated REBLUR's in-frame cost."""
+    from nrdsample_tpu.ops import reproject as repr_mod
+
     out = {}
     for name in sorted(requests):
         plane, pos = requests[name]
         if modes[name] == BICUBIC:
-            out[name] = filtering.sample_bicubic_no_corners(plane, pos)
+            out[name] = repr_mod.sample_bicubic_auto(plane, pos)
         else:
-            from nrdsample_tpu.ops import reproject as repr_mod
-
             out[name] = repr_mod.sample_bilinear_auto(plane, pos)
     return out

@@ -7,13 +7,13 @@ normalization via gHitDistSettings). Reimplemented from the published
 Gems II ch. 49) — behaviorally validated (SURVEY.md §7.3.3):
 
   1. temporal accumulation with disocclusion-aware accumulation speed,
-  2. hit-distance-driven adaptive-radius poisson-disk blur (radius shrinks with
-     accumulated frames and with normalized hit distance; specular radius also
-     shrinks with roughness via the "spec magic curve"),
+  2. hit-distance-driven adaptive-radius bilateral blur, realized as a
+     reach-budgeted dilated stencil chain (radius shrinks with accumulated
+     frames and with normalized hit distance; specular radius also shrinks
+     with roughness via the "spec magic curve"),
   3. temporal stabilization: history clamped to the spatial neighborhood
      mean ± sigma (anti-lag).
 
-Data-dependent tap positions use bilinear gathers — still dense VPU work.
 """
 
 from __future__ import annotations
@@ -25,7 +25,7 @@ import jax
 import jax.numpy as jnp
 
 from nrdsample_tpu.denoise import common
-from nrdsample_tpu.mathlib import filtering
+from nrdsample_tpu.mathlib import color
 
 
 @jax.tree_util.register_dataclass
@@ -67,12 +67,6 @@ class ReblurSettings:
     # (fresh disocclusions) get their signal reconstructed spatially
     history_fix_frame_num: float = 3.0
     history_fix_stride: int = 2
-
-
-_POISSON_8 = [  # unit-disk poisson taps (8), classic REBLUR-style set
-    (-0.843, 0.155), (0.333, -0.855), (0.871, 0.440), (-0.298, 0.900),
-    (-0.315, -0.450), (0.519, 0.037), (-0.799, -0.534), (0.061, 0.455),
-]
 
 
 def spec_magic_curve(roughness):
@@ -121,81 +115,68 @@ def specular_virtual_mv(cam, x, view_dir, spec_hitdist, roughness, mv,
     return jnp.concatenate([mv_xy, mv[..., 2:3]], axis=-1)
 
 
-def _rot2(frame):
-    a = jnp.asarray(frame, jnp.float32) * 2.39996  # golden-angle per frame
-    return jnp.cos(a), jnp.sin(a)
-
-
-def blur_requests(acc, hitdist, view_z, normal, roughness, frames, frame_idx,
-                  s: ReblurSettings, is_spec: bool, unproject: float):
-    """Gather plan for the adaptive Poisson-disk blur: per-pixel radius from
-    convergence + world-space hit distance (+ spec magic curve), 8 golden-angle
-    rotated taps. Returns (plane (H, W, 8) = [illum3, hitdist, view_z,
-    normal3], pos (8, H, W, 2)) — ONE packed gather instead of four.
-
-    Tap positions depend on the ACCUMULATED state, so in the staged frame this
-    is a second plan/gather round after temporal accumulation."""
-    h, w = view_z.shape
-    # normalized convergence in [0,1]
+def blur_radius(hitdist, view_z, roughness, frames, s: ReblurSettings,
+                is_spec: bool, unproject: float):
+    """Per-pixel adaptive blur radius in pixels: shrinks with convergence,
+    scales with world-space hit distance (contact -> small), and with the
+    specular magic curve for the spec channel (REBLUR's adaptive radius)."""
     conv = frames / s.max_accumulated_frames
     radius = s.blur_radius_px * (1.0 - 0.9 * conv)
-    # scale by hit distance (short hitT -> contact -> small radius); normalize
-    # by pixel size at this depth
     pixel_size = jnp.maximum(jnp.abs(view_z) * unproject, 1e-6)
     hit_factor = jnp.clip(hitdist / (pixel_size * 30.0), 0.05, 1.0)
     radius = radius * hit_factor
     if is_spec:
         radius = radius * jnp.clip(spec_magic_curve(roughness), 0.05, 1.0)
-    radius = jnp.maximum(radius, s.min_blur_radius_px)
-
-    pos0 = common.pixel_positions(h, w)
-    ca, sa = _rot2(frame_idx)
-    taps = []
-    for tx, ty in _POISSON_8:
-        ox = (tx * ca - ty * sa) * radius
-        oy = (tx * sa + ty * ca) * radius
-        taps.append(pos0 + jnp.stack([ox, oy], axis=-1))
-    plane = jnp.concatenate(
-        [acc, hitdist[..., None], view_z[..., None], normal], axis=-1
-    )
-    return plane, jnp.stack(taps, axis=0)
+    return jnp.maximum(radius, s.min_blur_radius_px)
 
 
-def blur_finish(acc, hitdist, view_z, normal, taps, s: ReblurSettings):
-    """Depth/normal-bilateral fold of the pre-gathered blur taps.
-
-    taps: (8, H, W, 8) gathered blur_requests plane. Returns (blurred illum,
-    blurred hitdist)."""
-    acc_o = acc
-    acc_hd = hitdist
-    acc_w = jnp.ones_like(view_z)
-    for i in range(len(_POISSON_8)):
-        illum_n = taps[i, ..., 0:3]
-        hd_n = taps[i, ..., 3]
-        z_n = taps[i, ..., 4]
-        n_n = taps[i, ..., 5:8]
-        wz = jnp.exp(
-            -jnp.abs(z_n - view_z) / (s.phi_depth * jnp.maximum(jnp.abs(view_z), 1e-3))
-        )
-        wn = jnp.power(jnp.clip(jnp.sum(n_n * normal, axis=-1), 0.0, 1.0), s.phi_normal)
-        wgt = wz * wn
-        acc_o = acc_o + illum_n * wgt[..., None]
-        acc_hd = acc_hd + hd_n * wgt
-        acc_w = acc_w + wgt
-    inv = 1.0 / acc_w
-    return acc_o * inv[..., None], acc_hd * inv
+_GAUSS_3 = (0.25, 0.5, 0.25)
+_BLUR_STEPS = (1, 2, 4, 8)
 
 
 def adaptive_blur(illum, hitdist, view_z, normal, roughness, frames, frame_idx,
                   s: ReblurSettings, is_spec: bool, unproject: float):
-    """Poisson-disk blur with per-pixel world-space-informed radius
-    (blur_requests + inline gather + blur_finish)."""
-    plane, pos = blur_requests(
-        illum, hitdist, view_z, normal, roughness, frames, frame_idx, s,
-        is_spec, unproject,
-    )
-    taps = filtering.sample_bilinear(plane, pos)
-    return blur_finish(illum, hitdist, view_z, normal, taps, s)
+    """Adaptive-radius bilateral blur as a reach-budgeted dilated 3x3 chain —
+    STATIC shifts only (the TPU-native form; same rework that took SIGMA
+    584 -> 6 ms at 1080p). The per-pixel radius is a cumulative kernel-reach
+    budget: pass `step` engages with gate clip(remaining/step, 0, 1) and
+    consumes gate*step, so total kernel half-width tracks the adaptive radius
+    exactly like the Poisson form's disk radius did, while staying a fused
+    stencil pipeline instead of 8 dynamic robust gathers (which dominated the
+    512^2 REBLUR frame at 99 ms/signal)."""
+    radius = blur_radius(hitdist, view_z, roughness, frames, s, is_spec,
+                         unproject)
+    geom = jnp.concatenate([view_z[..., None], normal], axis=-1)  # static
+    out = illum
+    out_hd = hitdist
+    remaining = jnp.maximum(radius - 0.5, 0.0)  # sub-pixel radii stay sharp
+    for step in _BLUR_STEPS:
+        gate = jnp.clip(remaining / step, 0.0, 1.0)
+        remaining = jnp.maximum(remaining - gate * step, 0.0)
+        packed = jnp.concatenate([out, out_hd[..., None], geom], axis=-1)
+        acc = jnp.zeros_like(out)
+        acc_hd = jnp.zeros_like(out_hd)
+        acc_w = jnp.zeros_like(out_hd)
+        for iy, ky in enumerate(_GAUSS_3):
+            for ix, kx in enumerate(_GAUSS_3):
+                dy, dx = (iy - 1) * step, (ix - 1) * step
+                tap = common.shifted(packed, dy, dx)
+                z_n, n_n = tap[..., 4], tap[..., 5:8]
+                wz = jnp.exp(-jnp.abs(z_n - view_z)
+                             / (s.phi_depth
+                                * jnp.maximum(jnp.abs(view_z), 1e-3)))
+                wn = jnp.power(
+                    jnp.clip(jnp.sum(n_n * normal, axis=-1), 0.0, 1.0),
+                    s.phi_normal,
+                )
+                wgt = ky * kx * wz * wn * (gate if (dy or dx) else 1.0)
+                acc = acc + tap[..., 0:3] * wgt[..., None]
+                acc_hd = acc_hd + tap[..., 3] * wgt
+                acc_w = acc_w + wgt
+        inv = 1.0 / jnp.maximum(acc_w, 1e-6)
+        out = acc * inv[..., None]
+        out_hd = acc_hd * inv
+    return out, out_hd
 
 
 def history_fix(acc, fast, view_z, normal, frames, s: ReblurSettings):
@@ -294,9 +275,16 @@ def accumulate(hist: ReblurHistory, illum, hitdist, view_z, normal, mv,
 
 
 def stabilize(blurred, fast, frames, s: ReblurSettings):
-    """Temporal stabilization: clamp the blurred slow signal to the fast
-    channel's 3x3 neighborhood mean ± sigma (anti-lag), relaxing as history
-    converges."""
+    """Temporal stabilization + anti-lag (NRD REBLUR's TemporalStabilization):
+    clamp the blurred slow signal to the fast channel's 3x3 neighborhood
+    mean ± sigma, and where the slow signal sits OUTSIDE that box (a lighting
+    change without disocclusion) cut the accumulated frame count so the slow
+    history re-converges quickly — NRD shortens accumSpeed on anti-lag, it
+    does NOT relax the clamp as history converges (the previous blend-out
+    disabled anti-lag exactly when it matters; caught by
+    tests/test_reblur_response.py step-response).
+
+    Returns (stabilized signal, adjusted frames to store in history)."""
     mu = jnp.zeros_like(blurred)
     mu2 = jnp.zeros_like(blurred)
     for dy, dx in common.stencil_taps(1):
@@ -305,22 +293,24 @@ def stabilize(blurred, fast, frames, s: ReblurSettings):
         mu2 = mu2 + f_n * f_n
     mu /= 9.0
     sigma = jnp.sqrt(jnp.maximum(mu2 / 9.0 - mu * mu, 0.0) + 1e-12)
-    clamped = jnp.clip(
-        blurred, mu - sigma * s.anti_lag_sigma, mu + sigma * s.anti_lag_sigma
-    )
-    # blend back toward unclamped as history converges
-    return clamped + (blurred - clamped) * jnp.clip(frames / 8.0, 0.0, 1.0)[..., None]
+    lo = mu - sigma * s.anti_lag_sigma
+    hi = mu + sigma * s.anti_lag_sigma
+    clamped = jnp.clip(blurred, lo, hi)
+    # anti-lag: distance outside the box in sigma units (luminance-weighted)
+    out_dist = color.luminance(jnp.abs(blurred - clamped))
+    sig_lum = color.luminance(sigma) * s.anti_lag_sigma + 1e-6
+    delta = out_dist / sig_lum
+    frames_out = frames / (1.0 + delta)
+    return clamped, frames_out
 
 
 def denoise(hist: ReblurHistory, illum, hitdist, view_z, normal, roughness, mv,
             frame_idx, unproject: float, s: ReblurSettings = ReblurSettings(),
-            is_spec: bool = False, reset=False, confidence=None, pre=None,
-            pre_taps=None):
+            is_spec: bool = False, reset=False, confidence=None, pre=None):
     """Full REBLUR pipeline for one signal. Returns (denoised, new_history).
     confidence: optional (H, W) [0,1] history-confidence plane.
     pre: optional pre-gathered taccum_requests dict (staged gather pass).
-    pre_taps: optional pre-gathered blur_requests taps (8, H, W, 8) — the
-    second gather stage; None = inline robust-tap gather."""
+    The adaptive blur is a static stencil chain — no second gather stage."""
     if s.enable_anti_firefly:
         illum = common.anti_firefly(illum)
 
@@ -329,15 +319,12 @@ def denoise(hist: ReblurHistory, illum, hitdist, view_z, normal, roughness, mv,
     )
 
     # ---- adaptive spatial blur ----
-    if pre_taps is None:
-        blurred, hd_blur = adaptive_blur(
-            acc, hd, view_z, normal, roughness, frames, frame_idx, s, is_spec,
-            unproject,
-        )
-    else:
-        blurred, hd_blur = blur_finish(acc, hd, view_z, normal, pre_taps, s)
+    blurred, hd_blur = adaptive_blur(
+        acc, hd, view_z, normal, roughness, frames, frame_idx, s, is_spec,
+        unproject,
+    )
 
-    out = stabilize(blurred, fast, frames, s)
+    out, frames = stabilize(blurred, fast, frames, s)
 
     new_hist = ReblurHistory(
         illum=out, fast_illum=fast, hitdist=hd_blur, view_z=view_z, normal=normal,

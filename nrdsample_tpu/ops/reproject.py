@@ -151,6 +151,43 @@ def reproject_bounded(img: jnp.ndarray, pos: jnp.ndarray,
     return out[..., 0] if squeeze else out
 
 
+def sample_bicubic_auto(img: jnp.ndarray, pos: jnp.ndarray,
+                        sharpness: float = 0.66):
+    """5-tap no-corners bicubic over the bounded-displacement stencil.
+
+    The tier decision runs ONCE on the base displacement (tap offsets are
+    within ±2.5 px of it), then all five taps share the chosen kernel size —
+    vs. calling sample_bilinear_auto per tap, which would trace 15 stencil
+    kernels. Falls back to the robust tap form off-TPU or for fast motion."""
+    from nrdsample_tpu.mathlib import filtering
+    from nrdsample_tpu.ops.traversal import _tpu_platform
+
+    if not _tpu_platform():
+        return filtering.sample_bicubic_no_corners(img, pos, sharpness)
+
+    from nrdsample_tpu.denoise import common
+
+    h, w = img.shape[0], img.shape[1]
+    disp = pos - common.pixel_positions(h, w)
+    mx = jnp.max(jnp.abs(disp)) + 2.5  # bicubic support margin
+
+    def tiered(d):
+        return lambda: filtering.sample_bicubic_no_corners(
+            img, pos, sharpness,
+            bilinear_fn=lambda im, p: reproject_bounded(im, p, d),
+        )
+
+    return jax.lax.cond(
+        mx < 7.0,
+        tiered(8),
+        lambda: jax.lax.cond(
+            mx < 15.0,
+            tiered(16),
+            lambda: filtering.sample_bicubic_no_corners(img, pos, sharpness),
+        ),
+    )
+
+
 def sample_bilinear_auto(img: jnp.ndarray, pos: jnp.ndarray,
                          d: int = MAX_DISP):
     """Reprojection dispatcher: the Pallas stencil when every displacement is

@@ -509,11 +509,9 @@ def image_frame_begin(cfg: RenderConfig, settings: Settings, cam: Camera,
                 img(gb["normal"]), mv_sig, s, reset=reset_history,
                 confidence=conf_arg, pre=pre_sig,
             )
-            reqs2[f"{sig}.taps"] = reblur.blur_requests(
-                acc, hd, img(gb["view_z"]), img(gb["normal"]),
-                img(gb["roughness"]), frames_sig, frame, s, is_spec, unproj,
-            )
-            reblur_mid[sig] = (acc, fast, hd, frames_sig)
+            # the adaptive blur is a static dilated stencil chain now — no
+            # second gather round needed (reqs2 stays empty for REBLUR)
+            reblur_mid[sig] = (acc, fast, hd, frames_sig, is_spec)
 
     return {
         "gb_updates": gb_updates, "diff": diff, "spec": spec, "shadow": shadow,
@@ -534,7 +532,6 @@ def image_frame_finish(cfg: RenderConfig, settings: Settings, cam: Camera,
     gathered2: optional pre-gathered results for mid["reqs2"] (the staged
     frame's second gather round); None = inline robust-tap gathers."""
     from nrdsample_tpu.config import NrdMode
-    from nrdsample_tpu.mathlib import filtering as filt_mod
 
     frame = history.frame_index
     sharc_state = aux.get("sharc")
@@ -562,16 +559,13 @@ def image_frame_finish(cfg: RenderConfig, settings: Settings, cam: Camera,
         )
         outs = {}
         for sig in ("reblur_diff", "reblur_spec"):
-            acc, fast, hd, frames_sig = mid["reblur"][sig]
-            if gathered2 is not None and f"{sig}.taps" in gathered2:
-                taps = gathered2[f"{sig}.taps"]
-            else:
-                plane, pos = mid["reqs2"][f"{sig}.taps"]
-                taps = filt_mod.sample_bilinear(plane, pos)
-            blurred, hd_blur = reblur.blur_finish(
-                acc, hd, img(gb["view_z"]), img(gb["normal"]), taps, s
+            acc, fast, hd, frames_sig, is_spec = mid["reblur"][sig]
+            unproj = cam_mod.unproject_scale(cam, cfg.height)
+            blurred, hd_blur = reblur.adaptive_blur(
+                acc, hd, img(gb["view_z"]), img(gb["normal"]),
+                img(gb["roughness"]), frames_sig, frame, s, is_spec, unproj,
             )
-            out_sig = reblur.stabilize(blurred, fast, frames_sig, s)
+            out_sig, frames_sig = reblur.stabilize(blurred, fast, frames_sig, s)
             new_h[sig] = reblur.ReblurHistory(
                 illum=out_sig, fast_illum=fast, hitdist=hd_blur,
                 view_z=img(gb["view_z"]), normal=img(gb["normal"]),

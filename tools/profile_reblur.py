@@ -60,5 +60,49 @@ def main():
     bench('8 static taps 3ch', jax.jit(static_taps), illum, vz)
 
 
+
+
+def main2():
+    """Round-5: full-pipeline decomposition at 512^2 (REBLUR now runs inside
+    the headline benched frame -> it must be ~ms-scale)."""
+    h = w = 512
+    key = jax.random.PRNGKey(0)
+    illum = jax.random.uniform(key, (h, w, 3), jnp.float32)
+    vz = jnp.ones((h, w), jnp.float32)
+    nrm = jnp.zeros((h, w, 3), jnp.float32).at[..., 2].set(1.0)
+    mv = jnp.zeros((h, w, 3), jnp.float32)
+    hd = jax.random.uniform(key, (h, w), jnp.float32)
+    rough = jnp.full((h, w), 0.5, jnp.float32)
+    frames = jnp.full((h, w), 7.0, jnp.float32)
+    s = reblur.ReblurSettings()
+    hist = reblur.ReblurHistory.create(h, w)
+
+    bench('full denoise', jax.jit(
+        lambda hi, il, hd_, vz_, nrm_, rg, mv_: reblur.denoise(
+            hi, il, hd_, vz_, nrm_, rg, mv_, jnp.int32(7), 0.002, s)[0]),
+        hist, illum, hd, vz, nrm, rough, mv)
+    bench('accumulate', jax.jit(
+        lambda hi, il, hd_, vz_, nrm_, mv_: reblur.accumulate(
+            hi, il, hd_, vz_, nrm_, mv_, s)[0]),
+        hist, illum, hd, vz, nrm, mv)
+    bench('history_fix', jax.jit(
+        lambda il, vz_, nrm_, fr: reblur.history_fix(il, il, vz_, nrm_, fr, s)[0]),
+        illum, vz, nrm, frames)
+    bench('adaptive_blur (again)', jax.jit(
+        lambda il, hd_, vz_, nrm_, rg, fr: reblur.adaptive_blur(
+            il, hd_, vz_, nrm_, rg, fr, jnp.int32(7), s, False, 0.002)[0]),
+        illum, hd, vz, nrm, rough, frames)
+    bench('stabilize', jax.jit(
+        lambda il, fr: reblur.stabilize(il, il, fr, s)),
+        illum, frames)
+    from nrdsample_tpu.denoise import gatherpass
+    bench('taccum gathers (inline)', jax.jit(
+        lambda hi, mv_: gatherpass.execute_inline(
+            reblur.taccum_requests(hi, mv_[..., :2]),
+            {"illum": gatherpass.BICUBIC, "packed": gatherpass.BILINEAR})["illum"]),
+        hist, mv)
+
+
 if __name__ == '__main__':
-    main()
+    import sys as _s
+    (main2 if '2' in _s.argv[1:] else main)()
