@@ -69,6 +69,13 @@ class OnScreen(enum.IntEnum):
     CURVATURE = 15
     MIP_PRIMARY = 16
     MIP_SPECULAR = 17
+    # SHARC cache visualizations (USE_SHARC_DEBUG 1/2,
+    # TraceOpaque.cs.hlsl:117-154): cached radiance at the primary hit
+    # (invalid cells red) / colored grid-cell hash
+    SHARC_CACHE = 18
+    SHARC_GRID = 19
+    # TAA blend-weight debug (USE_TAA_DEBUG, Final.cs.hlsl:54-56)
+    TAA_WEIGHT = 20
 
 
 # Forced material override (Shared.hlsli:89-91)
@@ -193,6 +200,9 @@ class RenderConfig:
     enable_post: bool = False         # tonemap + Final pass -> outputs["display"]
     dtype: Any = jnp.float32          # compute dtype for shading
     # stress tests + sanitization (SURVEY.md §4.4, Shared.hlsli:28-45)
+    # NRD validation-layer analogue (Final.cs.hlsl:46-51): overlay the
+    # accumulation-age heatmap on outputs["final"]
+    use_validation_overlay: bool = False
     # USE_MOVING_EMISSION_FIX (Shared.hlsli:23, default ON): fold primary
     # emission /2pi into the denoised diff/spec signals so animated emitters
     # don't leave a dark history tail (TraceOpaque.cs.hlsl:714-718)

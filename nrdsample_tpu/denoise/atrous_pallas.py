@@ -116,7 +116,7 @@ def atrous_iteration_pallas(illum, variance, view_z, normal, step: int,
             phi_d=float(s_cfg.phi_depth),
         ),
         grid=(grid,),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=pl.BlockSpec((4, band, wp), lambda i: (0, i, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((4, hp, wp), f32),

@@ -41,8 +41,11 @@ def compose(gb: dict, diff_radiance: jnp.ndarray, spec_radiance: jnp.ndarray,
     return out
 
 
-def debug_view(on_screen: int, gb: dict, composed: jnp.ndarray) -> jnp.ndarray:
-    """The ~18 G-buffer visualizations (Composition.cs.hlsl:200-238)."""
+def debug_view(on_screen: int, gb: dict, composed: jnp.ndarray,
+               sharc_state=None, cam_pos=None, taa_weight=None) -> jnp.ndarray:
+    """The ~21 visualizations: G-buffer views (Composition.cs.hlsl:200-238)
+    plus SHARC cache/grid (USE_SHARC_DEBUG, TraceOpaque.cs.hlsl:117-154) and
+    the TAA weight (USE_TAA_DEBUG, Final.cs.hlsl:54-56)."""
     if on_screen == OnScreen.FINAL:
         return composed
     if on_screen == OnScreen.BASE_COLOR:
@@ -90,4 +93,47 @@ def debug_view(on_screen: int, gb: dict, composed: jnp.ndarray) -> jnp.ndarray:
     if on_screen == OnScreen.MIP_PRIMARY:
         m = gb.get("mip", jnp.zeros_like(gb["view_z"])) / 8.0
         return jnp.repeat(m[..., None], 3, axis=-1)
+    if on_screen == OnScreen.SHARC_CACHE and sharc_state is not None:
+        # USE_SHARC_DEBUG == 1 (TraceOpaque.cs.hlsl:145-150): resolved cache
+        # radiance straight at the primary hit; invalid cells highlighted red
+        from nrdsample_tpu.ops import sharc as sharc_mod
+
+        rad, found = sharc_mod.query(
+            sharc_state, gb["primary_x"], gb["normal"], cam_pos
+        )
+        red = jnp.zeros_like(rad).at[..., 0].set(1.0)
+        return jnp.where(found[..., None], rad, red)
+    if on_screen == OnScreen.SHARC_GRID and cam_pos is not None:
+        # USE_SHARC_DEBUG == 2: HashGridDebugColoredHash — color from the
+        # grid-cell hash so voxel boundaries/levels are visible
+        from nrdsample_tpu.ops import sharc as sharc_mod
+
+        x, y, z, w_key, _ = sharc_mod.cell_key(
+            gb["primary_x"], gb["normal"], cam_pos
+        )
+        h = sharc_mod._hash_u32x4(x, y, z, w_key)
+        return jnp.stack(
+            [((h >> s) & 0xFF).astype(composed.dtype) / 255.0
+             for s in (0, 8, 16)],
+            axis=-1,
+        )
+    if on_screen == OnScreen.TAA_WEIGHT and taa_weight is not None:
+        # USE_TAA_DEBUG (Final.cs.hlsl:54-56): the per-pixel TAA mix rate
+        return jnp.repeat(
+            jnp.asarray(taa_weight, composed.dtype)[..., None], 3, axis=-1
+        )
     return composed
+
+
+def validation_overlay(img: jnp.ndarray, frames: jnp.ndarray,
+                       max_frames: float, alpha: float = 0.5) -> jnp.ndarray:
+    """NRD validation-layer analogue (Final.cs.hlsl:46-51 gValidation blend):
+    overlays a green->red accumulation-age heatmap (fresh disocclusions red,
+    converged history green) over the final image at `alpha`.
+
+    img: (N, 3) or (H, W, 3); frames: matching leading shape."""
+    conv = jnp.clip(frames / max_frames, 0.0, 1.0)[..., None]
+    heat = jnp.concatenate(
+        [1.0 - conv, conv, jnp.zeros_like(conv)], axis=-1
+    ).astype(img.dtype)
+    return img * (1.0 - alpha) + heat * alpha

@@ -96,6 +96,34 @@ def resolve_tail(cur, prev, mv_d, wide_mask, reset_mix,
     return clamped + (cur - clamped) * mix[..., None]
 
 
+def debug_weight(hist: TaaHistory, cur, mv, view_z, wide_mask=None,
+                 base_mix: float = 0.1):
+    """(H, W) effective TAA mix rate — the USE_TAA_DEBUG plane
+    (Final.cs.hlsl:54-56). Recomputes the XLA resolve's mix factor from the
+    same inputs (debug-only path; perf irrelevant)."""
+    h, w = view_z.shape
+    mv_d = closest_velocity_dilation(mv[..., :2], view_z)
+    prev = common.reproject(hist.color, mv_d, bicubic=True)
+    mu = jnp.zeros_like(cur)
+    mu2 = jnp.zeros_like(cur)
+    for dy, dx in common.stencil_taps(1):
+        cn = common.shifted(cur, dy, dx)
+        mu += cn
+        mu2 += cn * cn
+    mu /= 9.0
+    sigma = jnp.sqrt(jnp.maximum(mu2 / 9.0 - mu * mu, 0.0) + 1e-12)
+    clamped = jnp.clip(prev, mu - sigma * cfgmod.TAA_SIGMA_SCALE,
+                       mu + sigma * cfgmod.TAA_SIGMA_SCALE)
+    lab_p = color.rgb_to_lab(jnp.clip(prev, 0.0, 1.0))
+    lab_c = color.rgb_to_lab(jnp.clip(clamped, 0.0, 1.0))
+    de = jnp.linalg.norm(lab_p - lab_c, axis=-1)
+    mix = jnp.clip(base_mix + jnp.clip(de / 23.0, 0.0, 1.0) * 0.5, 0.0, 1.0)
+    mix = jnp.where(jnp.logical_not(common.in_screen(mv_d, h, w)), 1.0, mix)
+    if wide_mask is not None:
+        mix = jnp.maximum(mix, wide_mask.astype(mix.dtype) * base_mix)
+    return jnp.where(hist.valid == 0, 1.0, mix)
+
+
 def apply(hist: TaaHistory, cur: jnp.ndarray, mv: jnp.ndarray, view_z: jnp.ndarray,
           wide_mask: jnp.ndarray | None = None, reset=False,
           base_mix: float = 0.1, pre=None):

@@ -164,8 +164,8 @@ def taa_resolve_pallas(cur, prev, mv_d, wide_mask, reset_mix, sigma_scale,
             use_wide=use_wide,
         ),
         grid=(hp // band,),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY),
-                  pl.BlockSpec(memory_space=pltpu.ANY)],
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY),
+                  pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=pl.BlockSpec((3, band, wp), lambda i: (0, i, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((3, hp, wp), f32),

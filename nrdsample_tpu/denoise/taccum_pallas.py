@@ -48,9 +48,9 @@ def _lum(rgb):
     return _LR * rgb[0] + _LG * rgb[1] + _LB * rgb[2]
 
 
-def _taccum_kernel(hist_hbm, cur_hbm, out_ref, hscr, cscr, sem_h, sem_c, *,
-                   band: int, h: int, w: int, wp: int,
-                   max_frames: float, thr: float, anti_ff: bool):
+def _taccum_kernel(hist_hbm, cur_hbm, mf_ref, out_ref, hscr, cscr, sem_h,
+                   sem_c, *, band: int, h: int, w: int, wp: int,
+                   thr: float, anti_ff: bool):
     """One row band. hist channels: [illum3, m1, m2, viewZ, normal3, frames];
     cur channels: [illum3, viewZ, normal3, mvx, mvy, mvz, confidence];
     out channels: [acc_illum3, m1, m2, frames, variance]."""
@@ -136,7 +136,7 @@ def _taccum_kernel(hist_hbm, cur_hbm, out_ref, hscr, cscr, sem_h, sem_c, *,
     rel = jnp.abs(prev_z - (vz + mvz)) / jnp.maximum(jnp.abs(vz), 1e-3)
     ok = (rel < thr).astype(f32) * (jnp.sum(nrm * prev_n, axis=0) > 0.5).astype(f32)
     valid = ok * inscr * conf
-    frames = jnp.minimum(prev_f * valid + 1.0, max_frames)
+    frames = jnp.minimum(prev_f * valid + 1.0, mf_ref[0, 0])
     alpha = 1.0 / frames
     lum = _lum(ilff)
     hit = valid > 0.0
@@ -205,13 +205,17 @@ def taccum_variance_pallas(hist, illum, view_z, normal, mv, s, conf_plane,
     out = pl.pallas_call(
         functools.partial(
             _taccum_kernel, band=band, h=h, w=w, wp=wp,
-            max_frames=float(s.max_accumulated_frames),
             thr=float(s.disocclusion_threshold),
             anti_ff=bool(s.enable_anti_firefly),
         ),
         grid=(hp // band,),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY),
-                  pl.BlockSpec(memory_space=pltpu.ANY)],
+        # max_frames rides as an SMEM scalar: Settings.max_accumulated_frame_num
+        # is a TRACED per-frame value (adaptive accumulation) — baking it in
+        # with float() raised ConcretizationTypeError on every TPU RELAX
+        # monolithic frame
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY),
+                  pl.BlockSpec(memory_space=pl.ANY),
+                  pl.BlockSpec(memory_space=pltpu.SMEM)],
         out_specs=pl.BlockSpec((7, band, wp), lambda i: (0, i, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((7, hp, wp), f32),
@@ -223,7 +227,8 @@ def taccum_variance_pallas(hist, illum, view_z, normal, mv, s, conf_plane,
         ],
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 << 20),
         interpret=interpret,
-    )(planar(hist_packed), planar(cur))
+    )(planar(hist_packed), planar(cur),
+      jnp.asarray(s.max_accumulated_frames, f32).reshape(1, 1))
 
     out = out[:, :h, _XOFF:_XOFF + w]
     return (jnp.moveaxis(out[0:3], 0, -1),
@@ -293,8 +298,12 @@ def taccum_fused_auto(hist, illum, view_z, normal, mv, s, reset=False,
     if not _tpu_platform():
         return _reference_impl(*args, s)
     mx = jnp.max(jnp.abs(mv[..., :2]))
+    # fallback uses robust_gather=True: the tiered Pallas gather
+    # (reproject_bounded) has no autodiff rule, and lax.cond transposes BOTH
+    # branches — robust taps keep jax.grad through denoise() working on TPU
+    # even for fast-motion frames (ADVICE r4 #1; slightly slower there)
     return jax.lax.cond(
         mx < (_D - 1.0),
         lambda: _fused_diff(*args, s),
-        lambda: _reference_impl(*args, s, robust_gather=False),
+        lambda: _reference_impl(*args, s, robust_gather=True),
     )

@@ -989,10 +989,10 @@ def closest_hit_packet(cs: ClusterSet, origin, direction, t_max=T_MAX,
             kernel,
             grid=(nb // pps,),
             in_specs=[
-                pl.BlockSpec(memory_space=pltpu.ANY),   # order: HBM -> SMEM
+                pl.BlockSpec(memory_space=pl.ANY),   # order: HBM -> SMEM
                 wl_spec,   # keys
                 *([row_spec] * 7),   # ox..dz, tmax
-                pl.BlockSpec(memory_space=pltpu.ANY),   # slab stays in HBM
+                pl.BlockSpec(memory_space=pl.ANY),   # slab stays in HBM
             ],
             out_specs=[row_spec] * 4,
             out_shape=out_shape,
@@ -1022,7 +1022,7 @@ def closest_hit_packet(cs: ClusterSet, origin, direction, t_max=T_MAX,
             kernel,
             grid=(nb // pps,),
             in_specs=[
-                pl.BlockSpec(memory_space=pltpu.ANY),   # order: HBM, DMA'd to SMEM
+                pl.BlockSpec(memory_space=pl.ANY),   # order: HBM, DMA'd to SMEM
                 wl_spec,   # keys
                 *([row_spec] * 7),   # ox..dz, tmax
                 slab_spec,

@@ -125,7 +125,7 @@ def reproject_bounded(img: jnp.ndarray, pos: jnp.ndarray,
         functools.partial(_vertical_kernel, d=d, band=band, w=w, c=c),
         grid=(grid,),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),   # padded planes (HBM)
+            pl.BlockSpec(memory_space=pl.ANY),   # padded planes (HBM)
             pl.BlockSpec((n_off, band, w), lambda i: (0, i, 0),
                          memory_space=pltpu.VMEM),
         ],

@@ -511,7 +511,7 @@ def image_frame_begin(cfg: RenderConfig, settings: Settings, cam: Camera,
             )
             # the adaptive blur is a static dilated stencil chain now — no
             # second gather round needed (reqs2 stays empty for REBLUR)
-            reblur_mid[sig] = (acc, fast, hd, frames_sig, is_spec)
+            reblur_mid[sig] = (acc, fast, hd, frames_sig)
 
     return {
         "gb_updates": gb_updates, "diff": diff, "spec": spec, "shadow": shadow,
@@ -559,7 +559,8 @@ def image_frame_finish(cfg: RenderConfig, settings: Settings, cam: Camera,
         )
         outs = {}
         for sig in ("reblur_diff", "reblur_spec"):
-            acc, fast, hd, frames_sig, is_spec = mid["reblur"][sig]
+            acc, fast, hd, frames_sig = mid["reblur"][sig]
+            is_spec = sig == "reblur_spec"
             unproj = cam_mod.unproject_scale(cam, cfg.height)
             blurred, hd_blur = reblur.adaptive_blur(
                 acc, hd, img(gb["view_z"]), img(gb["normal"]),
@@ -699,7 +700,27 @@ def image_frame_finish(cfg: RenderConfig, settings: Settings, cam: Camera,
 
     debug = None
     if cfg.on_screen != OnScreen.FINAL:
-        debug = composition.debug_view(cfg.on_screen, gb, composed)
+        taa_w = None
+        if cfg.on_screen == OnScreen.TAA_WEIGHT and history.taa is not None:
+            taa_w = flat(taa.debug_weight(
+                history.taa, img(composed * settings.exposure * 1e-2),
+                img(gb["mv"]), img(gb["view_z"]),
+            ))
+        debug = composition.debug_view(
+            cfg.on_screen, gb, composed,
+            sharc_state=sharc_state, cam_pos=cam.position, taa_weight=taa_w,
+        )
+
+    # NRD validation overlay (Final.cs.hlsl:46-51): accumulation-age heatmap
+    if cfg.use_validation_overlay and final is not None:
+        frames_plane = None
+        for k in ("relax_diff", "reblur_diff"):
+            if new_h.get(k) is not None:
+                frames_plane = new_h[k].frames
+        if frames_plane is not None:
+            final = composition.validation_overlay(
+                final, flat(frames_plane), _max_acc(settings)
+            )
 
     outputs = {
         "color": composed,

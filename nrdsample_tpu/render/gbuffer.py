@@ -114,6 +114,18 @@ def decode_hit(scene: Scene, hit: dict, origin: jnp.ndarray, direction: jnp.ndar
         e_scale = emission_scale
     emission = mg[..., 5:8] * e_scale
 
+    # per-instance material scales (InstanceData.baseColorAndMetalnessScale /
+    # emissionAndRoughnessScale / normalUvScale, RaytracingShared.hlsli:
+    # 456-468): one extra row gather, compiled only when the scene carries
+    # instance scales (the common case stays scale-free)
+    inst_sc = None
+    if scene.tri_instance is not None and scene.instance_scales is not None:
+        inst_sc = scene.instance_scales[scene.tri_instance[tri]]
+        base_color = base_color * inst_sc[..., 0:3]
+        metalness = metalness * inst_sc[..., 3]
+        emission = emission * inst_sc[..., 4:7]
+        roughness = roughness * inst_sc[..., 7]
+
     # material textures with ray-cone mip (GetMaterialProps' 4 bindless
     # fetches, RaytracingShared.hlsli:424-555; LOD :154-189). Texture values
     # MULTIPLY the material constants (glTF convention); texels are pytree
@@ -143,7 +155,14 @@ def decode_hit(scene: Scene, hit: dict, origin: jnp.ndarray, direction: jnp.ndar
         # is the dynamic `use_normal_map` scalar (1.0 default when None).
         nm_gate = (jnp.float32(1.0) if use_normal_map is None
                    else jnp.asarray(use_normal_map, f32))
-        n_local_xy = texel[..., 8:10] * nm_gate
+        if inst_sc is not None:
+            # normalUvScale: the normal map samples at scaled uv
+            # (RaytracingShared.hlsli:469) — a second fetch, only compiled
+            # for instance-scaled scenes
+            texel_n = tex_mod.sample(ts, mat, uv * inst_sc[..., 8:10], mip)
+            n_local_xy = texel_n[..., 8:10] * nm_gate
+        else:
+            n_local_xy = texel[..., 8:10] * nm_gate
         n_local_z = jnp.sqrt(jnp.clip(
             1.0 - jnp.sum(n_local_xy * n_local_xy, axis=-1), 1e-6, 1.0))
         bitan = jnp.cross(n_smooth, tangent) * bitan_sign[..., None]

@@ -37,11 +37,18 @@ class InstancedScene:
     scene: Scene
     instance_id: jnp.ndarray     # (T,) int32, 0 = static background
     n_instances: int = dataclasses.field(default=1, metadata=dict(static=True))
+    # optional (I, 10) per-instance material scales (see Scene.instance_scales)
+    instance_scales: jnp.ndarray | None = None
 
 
-def assign_instance_ids(scene: Scene, tri_instance: np.ndarray, ctx) -> InstancedScene:
+def assign_instance_ids(scene: Scene, tri_instance: np.ndarray, ctx,
+                        instance_scales=None) -> InstancedScene:
     """Build an InstancedScene AFTER build_context: permute the host-side
-    per-triangle instance ids through the context's triangle order and pad."""
+    per-triangle instance ids through the context's triangle order and pad.
+
+    instance_scales: optional (I, 10) per-instance material scale rows
+    [baseColor.xyz, metalness, emission.xyz, roughness, normalUv.xy]
+    (InstanceData scale factors, RaytracingShared.hlsli:456-468)."""
     order = getattr(ctx, "order", None)
     ids = np.asarray(tri_instance, np.int32)
     if order is not None:
@@ -53,6 +60,8 @@ def assign_instance_ids(scene: Scene, tri_instance: np.ndarray, ctx) -> Instance
         scene=scene,
         instance_id=jnp.asarray(ids),
         n_instances=int(tri_instance.max()) + 1 if len(tri_instance) else 1,
+        instance_scales=(None if instance_scales is None
+                         else jnp.asarray(instance_scales, jnp.float32)),
     )
 
 
@@ -92,7 +101,12 @@ def transform_scene(inst: InstancedScene, transforms: jnp.ndarray) -> Scene:
         n0=xf_normal(tr.n0), n1=xf_normal(tr.n1), n2=xf_normal(tr.n2),
         t0=xf_normal(tr.t0), t1=xf_normal(tr.t1), t2=xf_normal(tr.t2),
     )
-    return dataclasses.replace(inst.scene, tris=new_tris)
+    return dataclasses.replace(
+        inst.scene, tris=new_tris,
+        tri_instance=(inst.instance_id
+                      if inst.instance_scales is not None else None),
+        instance_scales=inst.instance_scales,
+    )
 
 
 def _invert_3x4(m: jnp.ndarray) -> jnp.ndarray:

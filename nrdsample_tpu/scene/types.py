@@ -93,6 +93,15 @@ class Scene:
     has_alpha_test: bool = dataclasses.field(
         default=False, metadata=dict(static=True)
     )
+    # Per-instance material scale factors (InstanceData.baseColorAndMetalness-
+    # Scale / emissionAndRoughnessScale / normalUvScale,
+    # RaytracingShared.hlsli:456-468). Optional pair:
+    #   tri_instance: (T,) int32 instance id per triangle
+    #   instance_scales: (I, 10) = [baseColor.xyz, metalness, emission.xyz,
+    #                               roughness, normalUv.xy]
+    # None = all scales 1 (the common case compiles the lookup out).
+    tri_instance: object = None
+    instance_scales: object = None
 
     @property
     def num_tris(self) -> int:

@@ -244,3 +244,63 @@ class TestMvTypeExport:
         g3 = guides.rr_guides(gb, near=0.01, mv_type=jnp.int32(1))
         np.testing.assert_allclose(np.asarray(g25["mv"]), np.asarray(gb["mv"]))
         np.testing.assert_allclose(np.asarray(g3["mv"]), np.asarray(gb["mv_world"]))
+
+
+class TestInstanceMaterialScales:
+    def test_scales_apply_per_instance(self):
+        """InstanceData scale factors (RaytracingShared.hlsli:456-468): an
+        instance-scaled emitter doubles its emission while the static
+        background instance is untouched."""
+        vs, is_, ms, inst = [], [], [], []
+        off = 0
+        gv, gi = procedural.make_box([0, 0, -0.25], [20, 20, 0.5])
+        vs.append(gv); is_.append(gi + off); off += len(gv)
+        ms += [0] * len(gi); inst += [0] * len(gi)
+        bv, bi = procedural.make_box([0, 0, 1.0], [1.5, 1.5, 1.0])
+        vs.append(bv); is_.append(bi + off)
+        ms += [1] * len(bi); inst += [1] * len(bi)
+        mats = Materials(
+            base_color=np.array([[0.6, 0.6, 0.6], [0.9, 0.9, 0.9]], np.float32),
+            metalness=np.zeros(2, np.float32),
+            roughness=np.ones(2, np.float32),
+            emission=np.array([[0, 0, 0], [5.0, 5.0, 5.0]], np.float32),
+            ior=np.full(2, 1.5, np.float32),
+            flags=np.ones(2, np.int32),
+        )
+        tris = build_triangle_soa(
+            np.concatenate(vs), np.concatenate(is_), None, None,
+            np.array(ms, np.int32))
+        scene = make_scene(tris, mats)
+        ctx, scene2 = traversal.build_context(scene, mode="cluster")
+        scales = np.ones((2, 10), np.float32)
+        scales[1, 4:7] = 2.0      # instance 1 emission x2
+        scales[1, 7] = 0.5        # roughness x0.5
+
+        def run(with_scales):
+            inst_s = instances.assign_instance_ids(
+                scene2, np.array(inst, np.int32), ctx,
+                instance_scales=scales if with_scales else None)
+            world = instances.transform_scene(
+                inst_s, instances.identity_transforms(2))
+            s = Settings(sun_elevation=jnp.float32(-30.0),
+                         disable_shadows=jnp.int32(1))
+            cfg = _cfg()
+            hist = frame_mod.History.create(cfg)
+            out, _ = frame_mod.render_frame(
+                instances.refit_context(ctx, world), world,
+                look_at(eye=[0.0, -10.0, 6.0], target=[0.0, 0.0, 0.8],
+                        fov_y_deg=55.0),
+                cfg, s, hist)
+            return out
+
+        out_s, out_p = run(True), run(False)
+        emi_s = np.asarray(out_s["gbuffer"]["emission"])
+        emi_p = np.asarray(out_p["gbuffer"]["emission"])
+        lit = emi_p.max(-1) > 1.0
+        assert lit.any()
+        np.testing.assert_allclose(emi_s[lit], emi_p[lit] * 2.0, rtol=1e-4)
+        rough_s = np.asarray(out_s["gbuffer"]["roughness"])
+        rough_p = np.asarray(out_p["gbuffer"]["roughness"])
+        np.testing.assert_allclose(rough_s[lit], rough_p[lit] * 0.5, rtol=1e-4)
+        # background instance untouched
+        np.testing.assert_allclose(emi_s[~lit], emi_p[~lit], atol=1e-6)

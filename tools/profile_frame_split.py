@@ -44,3 +44,4 @@ run('bounce0', rpp=1, bounce_num=0, denoiser=Denoiser.REFERENCE)
 run('bounce0 no-shadows', rpp=1, bounce_num=0, denoiser=Denoiser.REFERENCE, no_shadows=True)
 run('bounce2 no-shadows', rpp=1, bounce_num=2, denoiser=Denoiser.REFERENCE, no_shadows=True)
 run('bounce2 RELAX', rpp=1, bounce_num=2, denoiser=Denoiser.RELAX)
+run('bounce2 REBLUR', rpp=1, bounce_num=2, denoiser=Denoiser.REBLUR)
