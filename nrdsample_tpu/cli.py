@@ -88,6 +88,7 @@ def cmd_render(args) -> int:
         use_nis=args.nis,
         use_neural_sr=(args.sr == "neural"),
         enable_post=bool(out_size or args.nis or args.separator > 0.0),
+        use_validation_overlay=args.validation,
     )
     settings = Settings(
         sun_azimuth=jnp.float32(args.sun_azimuth),
@@ -98,6 +99,7 @@ def cmd_render(args) -> int:
         forced_material=jnp.int32(
             {"none": 0, "gypsum": 1, "cobalt": 2}[args.forced_material]
         ),
+        use_normal_map=jnp.int32(0 if args.no_normal_map else 1),
     )
     print(
         f"scene={args.scene} tris={scene.num_tris} "
@@ -381,11 +383,17 @@ def main(argv=None) -> int:
     r.add_argument("--nis", action="store_true", help="NIS-style sharpen")
     r.add_argument("--separator", type=float, default=0.0,
                    help="split-screen noisy|denoised separator in [0,1]")
+    r.add_argument("--validation", action="store_true",
+                   help="NRD validation-layer overlay (accumulation-age "
+                        "heatmap over the final image)")
+    r.add_argument("--no-normal-map", action="store_true",
+                   help="disable normal mapping (gUseNormalMap off)")
     r.add_argument("--on-screen", default="final",
                    help="debug view (gOnScreen): final, base-color, normal, "
                         "roughness, metalness, shadow, material-id, uv, "
                         "curvature, mip-primary, instance-index, "
-                        "ambient-occlusion, denoised-diffuse, ...")
+                        "ambient-occlusion, denoised-diffuse, sharc-cache, "
+                        "sharc-grid, taa-weight, ...")
     r.set_defaults(fn=cmd_render)
 
     a = sub.add_parser("animate", help="animated orbiting-cubes demo (BLAS refit)")

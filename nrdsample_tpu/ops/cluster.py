@@ -130,14 +130,18 @@ def build_clusters(tris):
     p0_b = tris_np["p0"].reshape(c, CLUSTER_SIZE, 3)
     e1_b = tris_np["e1"].reshape(c, CLUSTER_SIZE, 3)
     e2_b = tris_np["e2"].reshape(c, CLUSTER_SIZE, 3)
-    slab = np.zeros((c * SLAB_ROWS, CLUSTER_SIZE), np.float32)
+    # slab padded to a whole number of SUPERCLUSTERS: the streaming kernel's
+    # supercluster-granular DMA copies SUPER_SIZE contiguous cluster slabs
+    # per worklist entry; zero rows are degenerate triangles (MT det = 0,
+    # never hit)
+    spad = (-c) % SUPER_SIZE
+    slab = np.zeros(((c + spad) * SLAB_ROWS, CLUSTER_SIZE), np.float32)
     for p, plane in enumerate(
         [p0_b[..., 0], p0_b[..., 1], p0_b[..., 2],
          e1_b[..., 0], e1_b[..., 1], e1_b[..., 2],
          e2_b[..., 0], e2_b[..., 1], e2_b[..., 2]]
     ):
-        slab[p::SLAB_ROWS] = plane
-    spad = (-c) % SUPER_SIZE
+        slab[p::SLAB_ROWS][:c] = plane
     cmin_p = np.concatenate([cmin, np.full((spad, 3), np.inf, np.float32)]) \
         if spad else cmin
     cmax_p = np.concatenate([cmax, np.full((spad, 3), -np.inf, np.float32)]) \

@@ -36,6 +36,11 @@ from nrdsample_tpu.ops.intersect import T_MAX
 
 BLOCK_RAYS = 128  # rays per packet; 128 measured best (tight worklists beat
                   # wider VPU blocks — t-pruning quality wins)
+FLAT_WORKLIST_MAX_C = 2048  # above this, stage-1 switches to the
+                            # supercluster hierarchy (tests patch this down)
+SUPER_WALK_STREAM = False   # streaming kernel walks supercluster-granular
+                            # worklists (measured-negative on exterior720;
+                            # see _block_worklists_super)
 EPS = 1e-7
 
 
@@ -501,7 +506,8 @@ def _packet_kernel_stream(order_hbm, keys_ref,
                           tmax_ref, slab_hbm,
                           t_out, tri_out, u_out, v_out,
                           order_smem, dma_sem, slab_scr, slab_sem,
-                          any_hit: bool, track_uv: bool = True):
+                          any_hit: bool, track_uv: bool = True,
+                          members: int = 1):
     """HBM-streaming variant: the slab table stays in HBM; each packet's
     worklist is walked in UNROLL-cluster groups that are DOUBLE-BUFFERED into
     VMEM scratch with async DMA — the fetch of group i+1 hides behind the
@@ -529,33 +535,42 @@ def _packet_kernel_stream(order_hbm, keys_ref,
         _one_packet_stream(
             p, c, order_smem, keys_ref, ox_ref, oy_ref, oz_ref, dx_ref,
             dy_ref, dz_ref, tmax_ref, slab_hbm, slab_scr, slab_sem,
-            t_out, tri_out, uv, any_hit, SLAB_ROWS,
+            t_out, tri_out, uv, any_hit, SLAB_ROWS, members,
         )
 
 
 def _one_packet_stream(p, c, order_smem, keys_ref,
                        ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
                        tmax_ref, slab_hbm, slab_scr, slab_sem,
-                       t_out, tri_out, uv, any_hit: bool, slab_rows: int):
+                       t_out, tri_out, uv, any_hit: bool, slab_rows: int,
+                       members: int = 1):
     """One packet's traversal with double-buffered slab streaming.
+
+    members > 1 is the SUPERCLUSTER-granular walk (round-5): a worklist entry
+    is a supercluster id covering `members` CONTIGUOUS clusters; each entry
+    issues ONE DMA of the whole contiguous slab region and tests its clusters
+    straight-line. 8x fewer worklist entries, DMA issues, and loop trips than
+    the member-expanded form (the sort is 8x narrower too — the flat C-wide
+    sort was 65 of 143 ms per exterior launch).
 
     DMA invariant: at every `cond` evaluation for group index i, the DMAs for
     group i have been STARTED and nothing else is in flight; the body starts
     group i+G into the other slot before waiting on group i, and the in-flight
     group at loop exit is drained after the while_loop."""
-    G = UNROLL
+    G = max(1, UNROLL // members)   # entries per trip (slabs/trip constant)
     track_uv = uv is not None
     rays = _ray_planes(p, ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref)
     ox, oy, oz, dx, dy, dz = rays
 
     t0 = tmax_ref[p, :]
     keys_row = keys_ref[p, :]
+    ext_rows = members * slab_rows   # slab rows per worklist entry
 
     def group_dma(i, slot, j):
         cid = order_smem[p, jnp.minimum(i + j, c - 1)]
         return pltpu.make_async_copy(
-            slab_hbm.at[pl.ds(cid * slab_rows, slab_rows), :],
-            slab_scr.at[pl.ds((slot * G + j) * slab_rows, slab_rows), :],
+            slab_hbm.at[pl.ds(cid * ext_rows, ext_rows), :],
+            slab_scr.at[pl.ds((slot * G + j) * ext_rows, ext_rows), :],
             slab_sem.at[slot, j],
         )
 
@@ -588,6 +603,24 @@ def _one_packet_stream(p, c, order_smem, keys_ref,
         )
         return jnp.where(hit, t, T_MAX), u, v
 
+    def test_entry(i, j, base, t, cid_plane, u, v):
+        """Test every member cluster of worklist entry i+j (scratch at base)."""
+        eid = order_smem[p, jnp.minimum(i + j, c - 1)]
+        for k in range(members):
+            cid_k = eid * members + k
+            t_k, u_k, v_k = test(base + k * slab_rows)
+            if t is None:
+                t, cid_plane = t_k, jnp.broadcast_to(cid_k, t_k.shape)
+                u, v = u_k, v_k
+            else:
+                take = t_k < t
+                cid_plane = jnp.where(take, cid_k, cid_plane)
+                t = jnp.where(take, t_k, t)
+                if track_uv:
+                    u = jnp.where(take, u_k, u)
+                    v = jnp.where(take, v_k, v)
+        return t, cid_plane, u, v
+
     def cond_main(state):
         i, t_best = state[0], state[1]
         # main loop consumes FULL groups only; the remainder is handled by the
@@ -599,27 +632,20 @@ def _one_packet_stream(p, c, order_smem, keys_ref,
         slot = (i // G) % 2
         start_group(i + G, 1 - slot)
         wait_group(i, slot)
-        base = slot * G * slab_rows
+        base0 = slot * G * ext_rows
 
-        cid0 = order_smem[p, jnp.minimum(i, c - 1)]
-        t, u, v = test(base)
-        cid_plane = jnp.broadcast_to(cid0, t.shape)
-        for j in range(1, G):
-            cid_j = order_smem[p, jnp.minimum(i + j, c - 1)]
-            t_j, u_j, v_j = test(base + j * slab_rows)
-            take = t_j < t
-            cid_plane = jnp.where(take, cid_j, cid_plane)
-            t = jnp.where(take, t_j, t)
-            if track_uv:
-                u = jnp.where(take, u_j, u)
-                v = jnp.where(take, v_j, v)
+        t = cid_plane = u = v = None
+        for j in range(G):
+            t, cid_plane, u, v = test_entry(
+                i, j, base0 + j * ext_rows, t, cid_plane, u, v
+            )
 
         return (i + G,) + _merge_group(t, cid_plane, best, u, v)
 
     state = jax.lax.while_loop(cond_main, body, init)
     i_end = state[0]
     # drain the group left in flight (started for i_end, never consumed by the
-    # main loop) — its G clusters cover every possible tail index
+    # main loop) — its G entries cover every possible tail index
     slot_end = (i_end // G) % 2
     wait_group(i_end, slot_end)
 
@@ -629,10 +655,8 @@ def _one_packet_stream(p, c, order_smem, keys_ref,
 
     def body_tail(state):
         i, best = state[0], state[1:]
-        off = slot_end * G * slab_rows + (i - i_end) * slab_rows
-        cid0 = order_smem[p, jnp.minimum(i, c - 1)]
-        t, u, v = test(off)
-        cid_plane = jnp.broadcast_to(cid0, t.shape)
+        base = slot_end * G * ext_rows + (i - i_end) * ext_rows
+        t, cid_plane, u, v = test_entry(i, 0, base, None, None, None, None)
         return (i + 1,) + _merge_group(t, cid_plane, best, u, v)
 
     state = jax.lax.while_loop(cond_tail, body_tail, state)
@@ -759,7 +783,8 @@ def _block_worklists(origin, direction, cs: ClusterSet, t_max, block: int):
     return _sort_worklists(key, hit)
 
 
-def _block_worklists_super(origin, direction, cs: ClusterSet, t_max, block: int):
+def _block_worklists_super(origin, direction, cs: ClusterSet, t_max,
+                           block: int, expand: bool = True):
     """Hierarchical stage 1 for big scenes: exact per-ray entry tests run on
     the SUPERCLUSTER level ((R, C/8) instead of (R, C)); cluster membership is
     refined with the cheap per-block interval test; the sort key per cluster
@@ -776,6 +801,18 @@ def _block_worklists_super(origin, direction, cs: ClusterSet, t_max, block: int)
     block_near_s = _block_min_entry(
         origin, direction, (cs.super_min, cs.super_max), t_max, block
     )                                                                 # (nb, Cs)
+
+    if not expand:
+        # supercluster-granular worklists for the streaming kernel's
+        # contiguous-DMA walk (entries are SUPER ids; one DMA + 8
+        # straight-line member tests each). MEASURED SLOWER on exterior720
+        # (185 vs 143 ms/launch): the dropped cluster-level interval cull
+        # costs ~190 extra member tests/packet, more than the 8x-narrower
+        # sort saves. Kept behind SUPER_WALK_STREAM for the record.
+        hit_s = block_near_s < T_MAX
+        key_s = jnp.where(hit_s, block_near_s, T_MAX)
+        return _sort_worklists(key_s, hit_s)
+
     super_key = jnp.repeat(block_near_s, SUPER_SIZE, axis=1)[:, :c]   # (nb, C)
 
     # cluster-level interval refinement (per-block ray bounds)
@@ -945,15 +982,27 @@ def closest_hit_packet(cs: ClusterSet, origin, direction, t_max=T_MAX,
     # supercluster hierarchy (exact per-ray keys at C/8 granularity +
     # per-block interval refinement) is the FEASIBILITY path for Bistro-scale
     # C in the thousands
-    if cs.count <= 2048:
+    from nrdsample_tpu.ops.cluster import SUPER_SIZE
+
+    members = 1
+    if cs.count <= FLAT_WORKLIST_MAX_C:
         order, keys_sorted, count = _block_worklists(origin, direction, cs, tm, block)
+    elif stream and SUPER_WALK_STREAM:
+        # supercluster-granular walk (one DMA + straight-line member tests
+        # per super): measured-negative default, see _block_worklists_super
+        order, keys_sorted, count = _block_worklists_super(
+            origin, direction, cs, tm, block, expand=False
+        )
+        members = SUPER_SIZE
     else:
         order, keys_sorted, count = _block_worklists_super(
             origin, direction, cs, tm, block
         )
     # Mosaic: VMEM slices must be 128-aligned in the lane dim — pad the
-    # worklist width; padded keys are T_MAX so the prune count never reaches them
-    cpad = (-cs.count) % 128
+    # worklist width (which may exceed cs.count after the supercluster
+    # expansion); padded keys are T_MAX so the prune count never reaches them
+    cbase = order.shape[1]
+    cpad = (-cbase) % 128
     if cpad:
         order = jnp.concatenate(
             [order, jnp.zeros((nb, cpad), jnp.int32)], axis=1
@@ -966,7 +1015,7 @@ def closest_hit_packet(cs: ClusterSet, origin, direction, t_max=T_MAX,
     d_c = [direction[:, k].reshape(nb, block) for k in range(3)]
     tmb = tm.reshape(nb, block)
 
-    c = cs.count + cpad
+    c = cbase + cpad
     pps = PACKETS_PER_STEP
     row_spec = pl.BlockSpec((pps, block), lambda i: (i, 0), memory_space=pltpu.VMEM)
     wl_spec = pl.BlockSpec((pps, c), lambda i: (i, 0), memory_space=pltpu.VMEM)
@@ -984,7 +1033,7 @@ def closest_hit_packet(cs: ClusterSet, origin, direction, t_max=T_MAX,
         from nrdsample_tpu.ops.cluster import SLAB_ROWS
 
         kernel = functools.partial(_packet_kernel_stream, any_hit=any_hit,
-                                   track_uv=need_uv)
+                                   track_uv=need_uv, members=members)
         t, tri, u, v = pl.pallas_call(
             kernel,
             grid=(nb // pps,),

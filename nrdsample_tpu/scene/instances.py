@@ -173,13 +173,19 @@ def refit_context(ctx, world_scene: Scene):
         p0b = tr.p0.reshape(c, CLUSTER_SIZE, 3)
         e1b = tr.e1.reshape(c, CLUSTER_SIZE, 3)
         e2b = tr.e2.reshape(c, CLUSTER_SIZE, 3)
-        slab = jnp.zeros((c * SLAB_ROWS, CLUSTER_SIZE), tr.p0.dtype)
+        from nrdsample_tpu.ops.cluster import SUPER_SIZE
+
+        # padded to a supercluster multiple like build_clusters (the
+        # streaming kernel DMAs SUPER_SIZE contiguous cluster slabs)
+        spad = (-c) % SUPER_SIZE
+        slab = jnp.zeros(((c + spad) * SLAB_ROWS, CLUSTER_SIZE), tr.p0.dtype)
         for p, plane in enumerate(
             [p0b[..., 0], p0b[..., 1], p0b[..., 2],
              e1b[..., 0], e1b[..., 1], e1b[..., 2],
              e2b[..., 0], e2b[..., 1], e2b[..., 2]]
         ):
-            slab = slab.at[p::SLAB_ROWS].set(plane)
+            idx = (jnp.arange(c) * SLAB_ROWS + p)
+            slab = slab.at[idx].set(plane)
         p1b = p0b + e1b
         p2b = p0b + e2b
         # padded (degenerate) triangles are all-zero and would pollute bounds;
