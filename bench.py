@@ -144,11 +144,14 @@ def run_config(name: str, spec: dict, n_iter: int = 8) -> dict:
         return out["color"], new_h
 
     color, history = step(history)  # compile + warmup
-    jax.block_until_ready(color)
+    jax.block_until_ready((color, history))
     t0 = time.perf_counter()
     for _ in range(n_iter):
         color, history = step(history)
-    jax.block_until_ready(color)
+    # block the WHOLE output tree: on the axon tunnel, individual result
+    # buffers can stream back before the program finishes, so blocking one
+    # output can under-measure
+    jax.block_until_ready((color, history))
     dt = (time.perf_counter() - t0) / n_iter
 
     rays_per_frame = cfg.n_pixels * count_rays_per_pixel(cfg, has_glass)
@@ -200,11 +203,11 @@ def bench_denoise(size: int = 512, n_iter: int = 10) -> dict:
 
     out_d, rh = dn(rh, rs_img, vz, nrm, mv)
     out_d, rh = dn(rh, rs_img, vz, nrm, mv)
-    jax.block_until_ready(out_d)
+    jax.block_until_ready((out_d, rh))
     t0 = time.perf_counter()
     for _ in range(n_iter):
         out_d, rh = dn(rh, rs_img, vz, nrm, mv)
-    jax.block_until_ready(out_d)
+    jax.block_until_ready((out_d, rh))
     dt_dn = (time.perf_counter() - t0) / n_iter
     return {"denoise_mpix_s": h * w / dt_dn / 1e6, "denoise_ms": dt_dn * 1e3}
 
@@ -239,11 +242,11 @@ def bench_denoise_stack(h: int = 1080, w: int = 1920, n_iter: int = 8) -> dict:
 
     out, hists = stack(hists, img, vz, nrm, mv, shadow, shd)
     out, hists = stack(hists, img, vz, nrm, mv, shadow, shd)
-    jax.block_until_ready(out)
+    jax.block_until_ready((out, hists))
     t0 = time.perf_counter()
     for _ in range(n_iter):
         out, hists = stack(hists, img, vz, nrm, mv, shadow, shd)
-    jax.block_until_ready(out)
+    jax.block_until_ready((out, hists))
     dt = (time.perf_counter() - t0) / n_iter
     return {"denoise_stack_mpix_s": h * w / dt / 1e6,
             "denoise_stack_ms": dt * 1e3}
